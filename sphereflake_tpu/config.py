@@ -156,6 +156,7 @@ class RenderConfig:
     tile_h: int = 64  # screen-tile height (the "packet" of the TPU build)
     tile_w: int = 128  # screen-tile width; lanes dimension, keep multiple of 128
     max_frontier: int = 1024  # per-tile cap on live spheres per level
+    tile_batch: int = 16  # tiles traced concurrently (memory/parallelism knob)
     strict_lod: bool = True  # per-ray LOD/visit gating (pure per-ray semantics)
     ssao_downscale: int = 1  # SSAO target downscale (main.cpp:118 uses 1)
     noise_size: int = 64  # SSAO noise texture size (SSAO.h:4)

@@ -1,0 +1,119 @@
+"""Full-frame G-buffer rendering: camera -> tiles -> frontier traversal.
+
+This is the TPU-native replacement for the reference's worker-thread
+loop (`Sphereflake.cpp:86-214`): instead of threads statistically
+sharding the pixel stream, the image is cut into static screen tiles
+(the "packets" of the TPU build), each traced by the levelwise frontier
+kernel in `ops/traversal.py`. Tiles are processed in batches (lax.map)
+to bound the live [rays x frontier] working set.
+
+The output is the reference's G-buffer (`Sphereflake.h:7-11`): a
+position plane and a normal plane (camera-relative positions, unit
+normals, zeros for sky), plus the reference's live metrics
+(`Sphereflake.h:30-58`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from sphereflake_tpu.camera import pixel_grid, ray_directions
+from sphereflake_tpu.config import RenderConfig, SceneParams
+from sphereflake_tpu.models.sphereflake import child_templates, root_frame
+from sphereflake_tpu.ops.traversal import (
+    TraceResult,
+    _BIG,
+    shade_gbuffer,
+    trace_tile,
+)
+
+Array = Any
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class RenderMetrics:
+    """The reference's title-bar counters (`main.cpp:271-294`), computed
+    as reductions instead of racy shared fields."""
+
+    max_depth_reached: Array  # [] int32
+    nodes_visited: Array  # [] int32 — frontier slots tested
+    overflow: Array  # [] int32 — nodes dropped at frontier capacity
+    closest_distance: Array  # [] f32 — min over rays of hit t (drives SSAO radius)
+    rays_traced: Array  # [] int32
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class GBuffer:
+    position: Array  # [H, W, 3] camera-relative hit positions (dir * t)
+    normal: Array  # [H, W, 3] unit normals, zeros at sky
+    min_t: Array  # [H, W] hit distance, _BIG at sky
+    hit: Array  # [H, W] bool
+    metrics: RenderMetrics
+
+
+def _tile(img: Array, cfg: RenderConfig) -> Array:
+    """[H, W, ...] -> [T, R, ...] row-major over (tile_y, tile_x)."""
+    h, w = cfg.height, cfg.width
+    rest = img.shape[2:]
+    x = img.reshape(cfg.tiles_y, cfg.tile_h, cfg.tiles_x, cfg.tile_w, *rest)
+    x = jnp.moveaxis(x, 2, 1)
+    return x.reshape(cfg.tiles_y * cfg.tiles_x, cfg.tile_h * cfg.tile_w, *rest)
+
+
+def _untile(tiles: Array, cfg: RenderConfig) -> Array:
+    """[T, R, ...] -> [H, W, ...] inverse of `_tile`."""
+    rest = tiles.shape[2:]
+    x = tiles.reshape(cfg.tiles_y, cfg.tiles_x, cfg.tile_h, cfg.tile_w, *rest)
+    x = jnp.moveaxis(x, 2, 1)
+    return x.reshape(cfg.height, cfg.width, *rest)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_gbuffer(scene: SceneParams, cfg: RenderConfig) -> GBuffer:
+    """Render the full-frame G-buffer for `scene` (pure, differentiable)."""
+    xs, ys = pixel_grid(cfg.width, cfg.height)
+    dirs = ray_directions(scene.camera, xs, ys, cfg.width, cfg.height)
+
+    root = root_frame(scene.camera.position)
+    templates = child_templates(scene.fractal)
+
+    tiles = _tile(dirs, cfg)  # [T, R, 3]
+
+    def trace_one(tile_dirs):
+        return trace_tile(tile_dirs, root, templates, scene.fractal, cfg)
+
+    n_tiles = tiles.shape[0]
+    batch = max(1, min(cfg.tile_batch, n_tiles))
+    if n_tiles % batch == 0 and n_tiles > batch:
+        res = jax.lax.map(jax.vmap(trace_one), tiles.reshape(
+            n_tiles // batch, batch, *tiles.shape[1:]
+        ))
+        res = jax.tree.map(lambda x: x.reshape(n_tiles, *x.shape[2:]), res)
+    else:
+        res = jax.vmap(trace_one)(tiles)
+
+    position_t, normal_t = shade_gbuffer(tiles, res)
+
+    min_t = _untile(res.min_t, cfg)
+    hit = _untile(res.hit, cfg)
+    metrics = RenderMetrics(
+        max_depth_reached=jnp.max(res.max_depth_reached),
+        nodes_visited=jnp.sum(res.nodes_visited),
+        overflow=jnp.sum(res.overflow),
+        closest_distance=jnp.min(jnp.where(res.hit, res.min_t, _BIG)),
+        rays_traced=jnp.int32(cfg.width * cfg.height),
+    )
+    return GBuffer(
+        position=_untile(position_t, cfg),
+        normal=_untile(normal_t, cfg),
+        min_t=min_t,
+        hit=hit,
+        metrics=metrics,
+    )
