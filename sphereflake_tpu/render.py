@@ -76,6 +76,22 @@ def _untile(tiles: Array, cfg: RenderConfig) -> Array:
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def render_frame(scene: SceneParams, cfg: RenderConfig):
+    """The complete pipeline of the reference app's `Render()`
+    (`main.cpp:301-335`): trace -> SSAO -> blur x2 -> composite, one fused
+    device program. Returns (image [H, W, 3], GBuffer)."""
+    from sphereflake_tpu.ops.noise import ssao_noise_texture
+    from sphereflake_tpu.ops.post import postprocess
+
+    gb = render_gbuffer(scene, cfg)
+    noise = jnp.asarray(ssao_noise_texture(cfg.noise_size))
+    image = postprocess(
+        gb.position, gb.normal, gb.metrics.closest_distance, scene, cfg, noise
+    )
+    return image, gb
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def render_gbuffer(scene: SceneParams, cfg: RenderConfig) -> GBuffer:
     """Render the full-frame G-buffer for `scene` (pure, differentiable)."""
     xs, ys = pixel_grid(cfg.width, cfg.height)
