@@ -1,0 +1,197 @@
+"""Command-line driver — the app shell of the TPU build.
+
+Mirrors the reference's CLI surface (`--width/--height`,
+`CommandLine.h:14-74`, `main.cpp:370-380`) and extends it with the knobs
+the reference hardcodes (camera pose `main.cpp:93-96`, depth/LOD
+`SIMD_AVX.h:25`, SSAO tuning `SSAO.cpp:49-55`). Headless: frames go to
+PNG/NPZ instead of a GLFW window; the 1 Hz title-bar metrics line
+(`main.cpp:271-294`) becomes a printed metrics line per frame.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="sphereflake-tpu",
+        description="TPU-native differentiable sphereflake raytracer",
+    )
+    p.add_argument("--width", type=int, default=1280)  # main.cpp:49
+    p.add_argument("--height", type=int, default=720)
+    p.add_argument("--depth", type=int, default=4, help="max fractal level")
+    p.add_argument("--lod", type=float, default=70.0, help="LOD factor (ref: 70 AVX / 60 SSE)")
+    p.add_argument("--tile", type=str, default="64x128", help="tile HxW")
+    p.add_argument("--max-frontier", type=int, default=1024)
+    p.add_argument("--tile-batch", type=int, default=16)
+    p.add_argument("--output", "-o", type=str, default="sphereflake.png")
+    p.add_argument("--gbuffer", type=str, default=None, help="also save G-buffer NPZ")
+    p.add_argument(
+        "--mode",
+        choices=("composite", "normals", "ao"),
+        default="composite",
+        help="composite = full SSAO pipeline; normals/ao = debug planes",
+    )
+    # camera pose (defaults = reference startup pose, main.cpp:93-96)
+    p.add_argument("--camera-pos", type=str, default="-5.4098,-7.2139,1.19006")
+    p.add_argument("--yaw", type=float, default=0.921999)
+    p.add_argument("--pitch", type=float, default=-1.371)
+    p.add_argument("--roll", type=float, default=0.0)
+    p.add_argument("--fov", type=float, default=60.0)
+    # frameless progressive mode (reference default behavior)
+    p.add_argument("--progressive", type=int, default=0, metavar="STEPS",
+                   help="frameless Sobol accumulation for N steps instead of a full frame")
+    p.add_argument("--batch", type=int, default=65536, help="samples per progressive step")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--frames", type=int, default=1, help="frames to render (timing)")
+    p.add_argument("--platform", choices=("auto", "cpu"), default="auto")
+    p.add_argument("--loose-lod", action="store_true",
+                   help="node-level LOD gating (faster, packet-like semantics)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    from sphereflake_tpu.config import (
+        CameraParams,
+        FractalParams,
+        RenderConfig,
+        SSAOParams,
+        SceneParams,
+    )
+    from sphereflake_tpu.render import render_frame, render_gbuffer
+    from sphereflake_tpu.utils.image import (
+        shade_normals,
+        write_gbuffer_npz,
+        write_png,
+    )
+
+    tile_h, tile_w = (int(v) for v in args.tile.split("x"))
+    try:
+        cfg = RenderConfig(
+            width=args.width,
+            height=args.height,
+            max_depth=args.depth,
+            lod_factor=args.lod,
+            tile_h=tile_h,
+            tile_w=tile_w,
+            max_frontier=args.max_frontier,
+            tile_batch=args.tile_batch,
+            strict_lod=not args.loose_lod,
+        )
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+
+    pos = [float(v) for v in args.camera_pos.split(",")]
+    scene = SceneParams(
+        camera=CameraParams(
+            position=jnp.asarray(pos, jnp.float32),
+            yaw=jnp.float32(args.yaw),
+            pitch=jnp.float32(args.pitch),
+            roll=jnp.float32(args.roll),
+            fov=jnp.float32(args.fov),
+        ),
+        fractal=FractalParams.reference_default(),
+        ssao=SSAOParams.reference_default(),
+    )
+
+    print(
+        f"sphereflake-tpu: {cfg.width}x{cfg.height} depth={cfg.max_depth} "
+        f"lod={cfg.lod_factor} tiles={cfg.tiles_y}x{cfg.tiles_x} "
+        f"device={jax.devices()[0].platform}"
+    )
+
+    if args.progressive:
+        from sphereflake_tpu.runtime.progressive import (
+            progressive_init,
+            progressive_step,
+        )
+
+        state = progressive_init(cfg, seed=args.seed)
+        t0 = time.perf_counter()
+        for step in range(args.progressive):
+            state = progressive_step(state, scene, cfg, batch_size=args.batch)
+            if step == 0:
+                jax.block_until_ready(state.position)  # compile barrier
+                t0 = time.perf_counter()
+        jax.block_until_ready(state.position)
+        dt = time.perf_counter() - t0
+        steps_timed = max(1, args.progressive - 1)
+        rays = steps_timed * args.batch
+        print(
+            f"progressive: {int(state.samples_traced)} samples, "
+            f"{rays / max(dt, 1e-9) / 1e6:.1f}M rays/s, "
+            f"closest sphere: {float(state.closest_distance):.4f}"
+        )
+        img = shade_normals(state.normal)
+        write_png(args.output, img)
+        if args.gbuffer:
+            write_gbuffer_npz(args.gbuffer, state.position, state.normal, state.min_t)
+        print(f"wrote {args.output}")
+        return 0
+
+    image = None
+    gb = None
+    times = []
+    for frame in range(args.frames):
+        t0 = time.perf_counter()
+        if args.mode == "composite":
+            image, gb = render_frame(scene, cfg)
+        else:
+            gb = render_gbuffer(scene, cfg)
+        jax.block_until_ready(gb.min_t)
+        times.append(time.perf_counter() - t0)
+
+    m = gb.metrics
+    dt = times[-1]  # post-compile steady-state
+    rays = cfg.width * cfg.height
+    # The reference's 1 Hz title line (main.cpp:271-294):
+    print(
+        f"FPS: {1.0 / max(dt, 1e-9):.1f} Depth: {int(m.max_depth_reached)} "
+        f"Rays per second: {rays / max(dt, 1e-9) / 1e3:.0f}k "
+        f"Closest sphere: {float(m.closest_distance):.4f}"
+    )
+    if int(m.overflow):
+        print(f"warning: frontier overflow dropped {int(m.overflow)} nodes "
+              f"(raise --max-frontier)", file=sys.stderr)
+
+    if args.mode == "composite":
+        out = np.asarray(image)
+    elif args.mode == "normals":
+        out = shade_normals(gb.normal, gb.hit)
+    else:  # ao
+        from sphereflake_tpu.ops.noise import ssao_noise_texture
+        from sphereflake_tpu.ops.post import ssao_pass
+
+        ao = ssao_pass(
+            gb.position, gb.normal,
+            jnp.asarray(ssao_noise_texture(cfg.noise_size)), scene.ssao,
+            scene.ssao.radius_multiplier * m.closest_distance,
+            cfg.height // cfg.ssao_downscale, cfg.width // cfg.ssao_downscale,
+        )
+        out = np.repeat(np.asarray(ao)[..., None], 3, axis=-1)
+
+    write_png(args.output, out)
+    if args.gbuffer:
+        write_gbuffer_npz(args.gbuffer, gb.position, gb.normal, gb.min_t)
+    print(f"wrote {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

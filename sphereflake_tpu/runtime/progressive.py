@@ -1,0 +1,148 @@
+"""Frameless progressive rendering — the reference's defining feature.
+
+The reference's worker threads loop forever, each iteration drawing one
+Sobol-distributed pixel, tracing a packet around it, and scattering the
+result into the shared G-buffer with no frame barrier
+(`Sphereflake.cpp:86-214`, `README.md:10`). The display thread snapshots
+whatever is in the buffer at vsync.
+
+TPU-native equivalent: a pure step function over an explicit
+``ProgressiveState``. Each step traces a batch of `batch_size`
+Sobol-chosen pixels (a whole "packet wave") and scatters position /
+normal / t into the persistent G-buffer arrays. The display analogue is
+simply reading the state's arrays between steps — double-buffering falls
+out of JAX's async dispatch (the next step's computation overlaps the
+host consuming the previous snapshot).
+
+Determinism: the reference scrambles every sample with a fresh
+`mt19937` draw seeded by `time(NULL)` (`Sphereflake.cpp:88-90,139-141`),
+which randomizes away both reproducibility *and* the low-discrepancy
+structure. Here each step derives its scrambles from a fold of the
+user-provided seed and the step counter — reproducible, and with
+`scramble="fixed"` the Sobol stream keeps its stratification (the
+quality-improving default; `scramble="per_sample"` mimics the
+reference's white-noise behavior).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from sphereflake_tpu.camera import ray_directions
+from sphereflake_tpu.config import RenderConfig, SceneParams
+from sphereflake_tpu.models.sphereflake import child_templates, root_frame
+from sphereflake_tpu.ops.sobol import sobol_sample
+from sphereflake_tpu.ops.traversal import _BIG, shade_gbuffer, trace_tile
+
+Array = Any
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ProgressiveState:
+    """Persistent frameless G-buffer + sample-stream cursor."""
+
+    position: Array  # [H, W, 3]
+    normal: Array  # [H, W, 3]
+    min_t: Array  # [H, W]
+    sample_lo: Array  # [] uint32 — global Sobol index cursor (low word)
+    sample_hi: Array  # [] uint32 — high word (52-bit stream like the ref)
+    seed: Array  # [] uint32 — scramble stream seed
+    closest_distance: Array  # [] f32, resettable like the reference metric
+    samples_traced: Array  # [] uint32
+
+
+def progressive_init(cfg: RenderConfig, seed: int = 0) -> ProgressiveState:
+    h, w = cfg.height, cfg.width
+    return ProgressiveState(
+        position=jnp.zeros((h, w, 3), jnp.float32),
+        normal=jnp.zeros((h, w, 3), jnp.float32),
+        min_t=jnp.full((h, w), _BIG, jnp.float32),
+        sample_lo=jnp.uint32(0),
+        sample_hi=jnp.uint32(0),
+        seed=jnp.uint32(seed),
+        closest_distance=jnp.float32(_BIG),
+        samples_traced=jnp.uint32(0),
+    )
+
+
+def _hash_u32(x: Array) -> Array:
+    """Stateless integer hash (PCG-ish mix) for per-sample scrambles."""
+    x = x.astype(jnp.uint32)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x
+
+
+@partial(jax.jit, static_argnames=("cfg", "batch_size", "scramble"))
+def progressive_step(
+    state: ProgressiveState,
+    scene: SceneParams,
+    cfg: RenderConfig,
+    batch_size: int = 16384,
+    scramble: str = "fixed",
+) -> ProgressiveState:
+    """Trace one batch of Sobol samples and scatter into the G-buffer."""
+    h, w = cfg.height, cfg.width
+
+    lane = jnp.arange(batch_size, dtype=jnp.uint32)
+    idx_lo = state.sample_lo + lane
+    carry = (idx_lo < state.sample_lo).astype(jnp.uint32)  # wrap detect
+    idx_hi = state.sample_hi + carry
+
+    if scramble == "per_sample":
+        scr0 = _hash_u32(idx_lo ^ state.seed)
+        scr1 = _hash_u32(idx_lo ^ state.seed ^ jnp.uint32(0x9E3779B9))
+    else:  # fixed per-stream scramble: keeps the (0,2)-sequence structure
+        scr0 = jnp.broadcast_to(_hash_u32(state.seed), lane.shape)
+        scr1 = jnp.broadcast_to(
+            _hash_u32(state.seed ^ jnp.uint32(0x9E3779B9)), lane.shape
+        )
+
+    # Pixel selection mirrors `Sphereflake.cpp:139-141`:
+    # x = 1 + floor(sobol0 * (W-2)), y likewise (AVX path).
+    sx = sobol_sample(idx_lo, 0, scr0, idx_hi)
+    sy = sobol_sample(idx_lo, 1, scr1, idx_hi)
+    px = 1.0 + jnp.floor(sx * (w - 2))
+    py = 1.0 + jnp.floor(sy * (h - 2))
+
+    dirs = ray_directions(scene.camera, px, py, w, h)  # [B, 3]
+    res = trace_tile(
+        dirs,
+        root_frame(scene.camera.position),
+        child_templates(scene.fractal),
+        scene.fractal,
+        cfg,
+    )
+    pos, nrm = shade_gbuffer(dirs, res)
+
+    xi = px.astype(jnp.int32)
+    yi = py.astype(jnp.int32)
+    position = state.position.at[yi, xi].set(pos)
+    normal = state.normal.at[yi, xi].set(nrm)
+    min_t = state.min_t.at[yi, xi].set(res.min_t)
+
+    batch_closest = jnp.min(jnp.where(res.hit, res.min_t, _BIG))
+    return ProgressiveState(
+        position=position,
+        normal=normal,
+        min_t=min_t,
+        sample_lo=idx_lo[-1] + jnp.uint32(1),
+        sample_hi=idx_hi[-1],
+        seed=state.seed,
+        closest_distance=jnp.minimum(state.closest_distance, batch_closest),
+        samples_traced=state.samples_traced + jnp.uint32(batch_size),
+    )
+
+
+def reset_closest_distance(state: ProgressiveState) -> ProgressiveState:
+    """`Sphereflake::ResetClosestSphereDistance` (`Sphereflake.h:55-58`)."""
+    return dataclasses.replace(state, closest_distance=jnp.float32(_BIG))
