@@ -157,7 +157,11 @@ class RenderConfig:
     tile_w: int = 128  # screen-tile width; lanes dimension, keep multiple of 128
     max_frontier: int = 1024  # per-tile cap on live spheres per level
     tile_batch: int = 16  # tiles traced concurrently (memory/parallelism knob)
-    strict_lod: bool = True  # per-ray LOD/visit gating (pure per-ray semantics)
+    # "fast": cone-culled expansion, node-local per-ray gating (production).
+    # "strict": exact per-ray ancestor-chain gating (golden parity).
+    # "loose": any-ray expansion without cone culling (diagnostics).
+    algorithm: str = "fast"
+    strict_lod: bool = True  # per-ray gating inside the non-fast paths
     ssao_downscale: int = 1  # SSAO target downscale (main.cpp:118 uses 1)
     noise_size: int = 64  # SSAO noise texture size (SSAO.h:4)
     background: float = 0.0  # sky writes zeros (post_final.glsl:20-24)

@@ -92,10 +92,15 @@ def rt_multiply(a, b):
     Equivalent to the reference's 4x4 multiply (`SIMD_AVX.h:59-81`) on
     rigid transforms: R = Ra@Rb, t = Ra@tb + ta. Broadcasts.
     """
+    import jax
+
     ra, ta = a[..., :3], a[..., 3]
     rb, tb = b[..., :3], b[..., 3]
-    r = ra @ rb
-    t = jnp.einsum("...ij,...j->...i", ra, tb) + ta
+    # HIGHEST: frame chains compose down to level-8 spheres of radius
+    # ~1e-4; a bf16 matmul pass would swamp them.
+    hi = jax.lax.Precision.HIGHEST
+    r = jnp.matmul(ra, rb, precision=hi)
+    t = jnp.einsum("...ij,...j->...i", ra, tb, precision=hi) + ta
     return jnp.concatenate([r, t[..., :, None]], axis=-1)
 
 

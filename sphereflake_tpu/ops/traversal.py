@@ -39,6 +39,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sphereflake_tpu.config import FractalParams, RenderConfig
 from sphereflake_tpu.models.sphereflake import child_templates
@@ -46,7 +47,7 @@ from sphereflake_tpu.ops.intersect import ray_sphere, safe_sqrt
 from sphereflake_tpu.ops.transforms import rt_multiply
 
 Array = Any
-_BIG = jnp.float32(3.0e38)  # ~FLT_MAX: the reference's miss sentinel
+_BIG = np.float32(3.0e38)  # ~FLT_MAX: the reference miss sentinel (host constant)
 
 
 @jax.tree_util.register_dataclass
@@ -61,6 +62,22 @@ class TraceResult:
     max_depth_reached: Array  # [] int32 (`Sphereflake.h:157-160`)
     nodes_visited: Array  # [] int32: frontier slots tested (live counter)
     overflow: Array  # [] int32: nodes dropped by frontier capacity
+
+
+
+def _tca(dirs, centers):
+    """tca[r, n] = dot(center_n, dir_r) in exact f32.
+
+    Deliberately NOT a matmul: K=3 wastes the MXU (3/128 utilization) and
+    TPU f32 matmuls either drop to one bf16 pass (8-bit mantissa wrecks
+    d2 = |c|^2 - tca^2) or pay the 6-pass emulation; five exact-f32 VPU
+    ops on the broadcast [R, N] are both faster and bit-stable.
+    """
+    return (
+        dirs[:, 0:1] * centers[None, :, 0]
+        + dirs[:, 1:2] * centers[None, :, 1]
+        + dirs[:, 2:3] * centers[None, :, 2]
+    )
 
 
 def _level_frontier_sizes(cfg: RenderConfig) -> list[int]:
@@ -103,7 +120,7 @@ def trace_tile(
     radius = fractal.root_radius
     for level in range(cfg.max_depth + 1):
         centers = frames[:, :, 3]  # [N, 3]
-        tca = dirs @ centers.T  # [R, N] — the MXU op
+        tca = _tca(dirs, centers)
         d2 = jnp.sum(centers * centers, axis=-1)[None, :] - tca * tca
 
         r_sq = radius * radius
@@ -176,6 +193,150 @@ def trace_tile(
     )
 
 
+def tile_cone(dirs: Array):
+    """Bounding cone of a ray tile: (axis [3], cos_half_angle []).
+
+    The TPU replacement for the reference's per-packet movemask early-out
+    (`Sphereflake.h:140-144`): a sphere that misses the tile's cone
+    misses every ray in the tile, so it can be culled once per tile
+    instead of once per ray. Exactly conservative for unit rays from a
+    common origin.
+    """
+    axis = jnp.sum(dirs, axis=0)
+    axis = axis / jnp.sqrt(jnp.maximum(jnp.sum(axis * axis), 1e-20))
+    cos_theta = jnp.min(dirs @ axis)
+    return axis, cos_theta
+
+
+def _cone_cull(centers, radius, axis, cos_theta, lod_sq):
+    """[N] keep-mask: cone-vs-sphere(2r) overlap AND conservative LOD.
+
+    keep iff angle(axis, c) <= theta + asin(min(2r/|c|, 1)) (or origin
+    inside the bounding sphere), and the closest possible bounding hit
+    |c| - 2r still passes the LOD cut t < lod^2 * r.
+    """
+    cc = jnp.sum(centers * centers, axis=-1)
+    dist = jnp.sqrt(jnp.maximum(cc, 1e-20))
+    sin_phi = jnp.minimum(2.0 * radius / dist, 1.0)
+    cos_phi = jnp.sqrt(jnp.maximum(1.0 - sin_phi * sin_phi, 0.0))
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+    # cos(theta + phi) = cos t cos p - sin t sin p
+    cos_sum = cos_theta * cos_phi - sin_theta * sin_phi
+    cos_beta = (centers @ axis) / dist
+    inside = dist <= 2.0 * radius
+    hit = inside | (cos_beta >= cos_sum)
+    lod_ok = (dist - 2.0 * radius) < lod_sq * radius
+    return hit & lod_ok
+
+
+def _compact(mask, cap: int):
+    """Pack indices where mask is true into [cap] slots (cumsum+scatter —
+    cheaper than a sort on TPU). Returns (indices [cap], valid [cap],
+    dropped [])."""
+    n = mask.shape[0]
+    pos = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    slot = jnp.where(mask, pos, cap)  # cap == drop sentinel
+    idx = (
+        jnp.zeros((cap + 1,), jnp.int32)
+        .at[slot]
+        .set(jnp.arange(n, dtype=jnp.int32), mode="drop")[:cap]
+    )
+    total = jnp.sum(mask.astype(jnp.int32))
+    valid = jnp.arange(cap, dtype=jnp.int32) < total
+    dropped = jnp.maximum(total - cap, 0)
+    return idx, valid, dropped
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def trace_tile_fast(
+    dirs: Array,
+    root: Array,
+    templates: Array,
+    fractal: FractalParams,
+    cfg: RenderConfig,
+) -> TraceResult:
+    """Cone-culled levelwise traversal — the production fast path.
+
+    Differences vs `trace_tile` (the parity path):
+    - frontier expansion is decided by the tile's bounding cone (O(nodes)
+      per level) instead of any-ray reductions over [rays, nodes];
+    - per-ray gating is local to each node (bounding + LOD at the node,
+      no ancestor-chain mask), i.e. the packet-style semantics of the
+      reference with the tile as the packet. Differences from the strict
+      path appear only at LOD horizons and camera-inside-sphere poses.
+    """
+    R = dirs.shape[0]
+    lod_sq = jnp.float32(cfg.lod_factor**2)
+    axis, cos_theta = tile_cone(dirs)
+
+    min_t = jnp.full((R,), _BIG, jnp.float32)
+    best_center = jnp.zeros((R, 3), jnp.float32)
+    max_depth = jnp.int32(0)
+    nodes = jnp.int32(0)
+    overflow = jnp.int32(0)
+
+    frames = root[None]  # [1, 3, 4]
+    valid = jnp.ones((1,), bool)
+    radius = fractal.root_radius
+    cap = max(9, (cfg.max_frontier // 9) * 9)
+
+    for level in range(cfg.max_depth + 1):
+        centers = frames[:, :, 3]  # [N, 3]
+        r_sq = radius * radius
+
+        # Fused per-ray test: bounding(2r) + LOD gate + self(r) + min-t.
+        tca = _tca(dirs, centers)
+        d2 = jnp.sum(centers * centers, axis=-1)[None, :] - tca * tca
+        front = (tca >= 0.0) & valid[None, :]
+        tb = tca - safe_sqrt(4.0 * r_sq - d2)
+        lod_ok = tb < lod_sq * radius
+        shit = front & lod_ok & (d2 <= r_sq)
+        ts = tca - safe_sqrt(r_sq - d2)
+        ts_masked = jnp.where(shit, ts, _BIG)
+        j = jnp.argmin(ts_masked, axis=-1)
+        t_best = jnp.take_along_axis(ts_masked, j[:, None], axis=-1)[:, 0]
+        upd = t_best < min_t
+        min_t = jnp.where(upd, t_best, min_t)
+        best_center = jnp.where(upd[:, None], centers[j], best_center)
+
+        nodes = nodes + jnp.sum(valid.astype(jnp.int32))
+        max_depth = jnp.where(jnp.any(valid), jnp.int32(level), max_depth)
+
+        if level == cfg.max_depth:
+            break
+
+        # Expansion: all children of valid nodes -> cone + LOD cull ->
+        # compact to capacity.
+        scale = (1.0 + fractal.radius_ratio) * radius
+        scaled_tmpl = templates.at[:, :, 3].multiply(scale)
+        children = rt_multiply(frames[:, None], scaled_tmpl[None, :]).reshape(
+            -1, 3, 4
+        )  # [9N, 3, 4]
+        child_valid = jnp.repeat(valid, 9)
+        r_child = radius * fractal.radius_ratio
+        keep = child_valid & _cone_cull(
+            children[:, :, 3], r_child, axis, cos_theta, lod_sq
+        )
+
+        n_next = min(9 * frames.shape[0], cap)
+        if children.shape[0] <= n_next:
+            frames, valid = children, keep
+        else:
+            idx, valid, dropped = _compact(keep, n_next)
+            frames = children[idx]
+            overflow = overflow + dropped
+        radius = r_child
+
+    return TraceResult(
+        min_t=min_t,
+        center=best_center,
+        hit=min_t < _BIG,
+        max_depth_reached=max_depth,
+        nodes_visited=nodes,
+        overflow=overflow,
+    )
+
+
 def shade_gbuffer(dirs: Array, res: TraceResult):
     """Turn a TraceResult into (position, normal) G-buffer planes —
     camera-relative position = dir·t, normal = normalize(pos − center),
@@ -192,6 +353,15 @@ def shade_gbuffer(dirs: Array, res: TraceResult):
     return position, normal
 
 
+def tile_tracer(cfg: RenderConfig):
+    """Select the traversal implementation for `cfg.algorithm`."""
+    if cfg.algorithm == "fast":
+        return trace_tile_fast
+    if cfg.algorithm in ("strict", "loose"):
+        return trace_tile
+    raise ValueError(f"unknown algorithm {cfg.algorithm!r}")
+
+
 def trace_rays(
     dirs: Array,
     camera_position: Array,
@@ -203,7 +373,7 @@ def trace_rays(
 
     shape = dirs.shape[:-1]
     flat = dirs.reshape(-1, 3)
-    res = trace_tile(
+    res = tile_tracer(cfg)(
         flat,
         root_frame(camera_position),
         child_templates(fractal),

@@ -27,7 +27,7 @@ from jax import shard_map
 from sphereflake_tpu.camera import ray_directions
 from sphereflake_tpu.config import RenderConfig, SceneParams
 from sphereflake_tpu.models.sphereflake import child_templates, root_frame
-from sphereflake_tpu.ops.traversal import _BIG, shade_gbuffer, trace_tile
+from sphereflake_tpu.ops.traversal import _BIG, shade_gbuffer, tile_tracer
 from sphereflake_tpu.render import GBuffer, RenderMetrics, _tile, _untile
 
 Array = Any
@@ -65,8 +65,9 @@ def _render_block(scene: SceneParams, cfg: RenderConfig, bcfg: RenderConfig):
     templates = child_templates(scene.fractal)
     tiles = _tile(dirs, bcfg)
 
+    tracer = tile_tracer(bcfg)
     res = jax.vmap(
-        lambda d: trace_tile(d, root, templates, scene.fractal, bcfg)
+        lambda d: tracer(d, root, templates, scene.fractal, bcfg)
     )(tiles)
     pos_t, nrm_t = shade_gbuffer(tiles, res)
     return (

@@ -29,7 +29,7 @@ from sphereflake_tpu.ops.traversal import (
     TraceResult,
     _BIG,
     shade_gbuffer,
-    trace_tile,
+    tile_tracer,
 )
 
 Array = Any
@@ -102,8 +102,10 @@ def render_gbuffer(scene: SceneParams, cfg: RenderConfig) -> GBuffer:
 
     tiles = _tile(dirs, cfg)  # [T, R, 3]
 
+    tracer = tile_tracer(cfg)
+
     def trace_one(tile_dirs):
-        return trace_tile(tile_dirs, root, templates, scene.fractal, cfg)
+        return tracer(tile_dirs, root, templates, scene.fractal, cfg)
 
     n_tiles = tiles.shape[0]
     batch = max(1, min(cfg.tile_batch, n_tiles))

@@ -37,7 +37,7 @@ from sphereflake_tpu.camera import ray_directions
 from sphereflake_tpu.config import RenderConfig, SceneParams
 from sphereflake_tpu.models.sphereflake import child_templates, root_frame
 from sphereflake_tpu.ops.sobol import sobol_sample
-from sphereflake_tpu.ops.traversal import _BIG, shade_gbuffer, trace_tile
+from sphereflake_tpu.ops.traversal import _BIG, shade_gbuffer, tile_tracer
 
 Array = Any
 
@@ -115,7 +115,7 @@ def progressive_step(
     py = 1.0 + jnp.floor(sy * (h - 2))
 
     dirs = ray_directions(scene.camera, px, py, w, h)  # [B, 3]
-    res = trace_tile(
+    res = tile_tracer(cfg)(
         dirs,
         root_frame(scene.camera.position),
         child_templates(scene.fractal),

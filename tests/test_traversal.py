@@ -11,6 +11,8 @@ from sphereflake_tpu.render import render_gbuffer
 
 
 def _compare_to_golden(dirs64, cam_pos, cfg, atol=1e-3, miss_frac=0.0, cos_tight=0.999, frac_tight=0.99):
+    import dataclasses
+    cfg = dataclasses.replace(cfg, algorithm="strict")
     gold = golden.golden_trace(
         dirs64, cam_pos, max_depth=cfg.max_depth, lod_factor=cfg.lod_factor
     )
@@ -86,7 +88,7 @@ def test_frontier_overflow_counted_small_cap():
     # With a tiny frontier cap at depth 4 the traversal must not crash and
     # must report dropped nodes.
     dirs, pos = _default_dirs(32, 32)
-    cfg = RenderConfig(width=128, height=64, max_depth=4, max_frontier=81)
+    cfg = RenderConfig(width=128, height=64, max_depth=4, max_frontier=81, algorithm="strict")
     res = trace_rays(
         jnp.asarray(dirs, jnp.float32), jnp.asarray(pos, jnp.float32),
         FractalParams.reference_default(), cfg,
@@ -156,10 +158,14 @@ def test_tile_batching_invariance():
 def test_loose_mode_close_to_strict():
     dirs, pos = _default_dirs(48, 48)
     fr = FractalParams.reference_default()
-    cfg_s = RenderConfig(width=128, height=64, max_depth=3, strict_lod=True)
-    cfg_l = RenderConfig(width=128, height=64, max_depth=3, strict_lod=False)
+    cfg_s = RenderConfig(width=128, height=64, max_depth=3, algorithm="strict", strict_lod=True)
+    cfg_l = RenderConfig(width=128, height=64, max_depth=3, algorithm="loose", strict_lod=False)
+    cfg_f = RenderConfig(width=128, height=64, max_depth=3, algorithm="fast")
     rs = trace_rays(jnp.asarray(dirs, jnp.float32), jnp.asarray(pos, jnp.float32), fr, cfg_s)
     rl = trace_rays(jnp.asarray(dirs, jnp.float32), jnp.asarray(pos, jnp.float32), fr, cfg_l)
-    # At close range with no LOD activity the two gatings agree exactly.
+    rf = trace_rays(jnp.asarray(dirs, jnp.float32), jnp.asarray(pos, jnp.float32), fr, cfg_f)
+    # At close range with no LOD activity all three gatings agree exactly.
     np.testing.assert_array_equal(np.asarray(rs.hit), np.asarray(rl.hit))
     np.testing.assert_allclose(np.asarray(rs.min_t), np.asarray(rl.min_t), atol=0)
+    np.testing.assert_array_equal(np.asarray(rs.hit), np.asarray(rf.hit))
+    np.testing.assert_allclose(np.asarray(rs.min_t), np.asarray(rf.min_t), atol=0)
