@@ -157,7 +157,9 @@ class RenderConfig:
     tile_w: int = 128  # screen-tile width; lanes dimension, keep multiple of 128
     max_frontier: int = 1024  # per-tile cap on live spheres per level
     tile_batch: int = 16  # tiles traced concurrently (memory/parallelism knob)
-    # "fast": cone-culled expansion, node-local per-ray gating (production).
+    # "pallas": fused single-kernel traversal, frontier in VMEM
+    #           (production TPU path; interpreted on CPU).
+    # "fast": cone-culled expansion, node-local per-ray gating (XLA).
     # "strict": exact per-ray ancestor-chain gating (golden parity).
     # "loose": any-ray expansion without cone culling (diagnostics).
     algorithm: str = "fast"

@@ -102,6 +102,9 @@ def render_gbuffer(scene: SceneParams, cfg: RenderConfig) -> GBuffer:
 
     tiles = _tile(dirs, cfg)  # [T, R, 3]
 
+    if cfg.algorithm == "pallas":
+        return _render_gbuffer_pallas(scene, cfg, tiles, root, templates)
+
     tracer = tile_tracer(cfg)
 
     def trace_one(tile_dirs):
@@ -133,5 +136,43 @@ def render_gbuffer(scene: SceneParams, cfg: RenderConfig) -> GBuffer:
         normal=_untile(normal_t, cfg),
         min_t=min_t,
         hit=hit,
+        metrics=metrics,
+    )
+
+
+def _render_gbuffer_pallas(scene, cfg, tiles, root, templates) -> GBuffer:
+    """G-buffer via the fused Pallas traversal kernel
+    (`ops/pallas_traversal.py`). Shading (position = dir * t, normal =
+    normalize(pos - center), `Sphereflake.cpp:186-201`) happens in XLA —
+    it fuses into the consumers."""
+    from sphereflake_tpu.ops.pallas_traversal import trace_tiles_pallas
+
+    interpret = jax.default_backend() != "tpu"
+    out, m = trace_tiles_pallas(
+        tiles, root, templates, scene.fractal, cfg, interpret=interpret
+    )
+    t_raw = out[:, :, 0]
+    hit_t = t_raw < _BIG
+    res = TraceResult(
+        min_t=t_raw,
+        center=out[:, :, 1:4],
+        hit=hit_t,
+        max_depth_reached=jnp.max(m[:, 0, 2]),
+        nodes_visited=jnp.sum(m[:, 0, 0]),
+        overflow=jnp.sum(m[:, 0, 1]),
+    )
+    position_t, normal_t = shade_gbuffer(tiles, res)
+    metrics = RenderMetrics(
+        max_depth_reached=res.max_depth_reached,
+        nodes_visited=res.nodes_visited,
+        overflow=res.overflow,
+        closest_distance=jnp.min(jnp.where(hit_t, t_raw, _BIG)),
+        rays_traced=jnp.int32(cfg.width * cfg.height),
+    )
+    return GBuffer(
+        position=_untile(position_t, cfg),
+        normal=_untile(normal_t, cfg),
+        min_t=_untile(t_raw, cfg),
+        hit=_untile(hit_t, cfg),
         metrics=metrics,
     )

@@ -1,0 +1,89 @@
+"""Parity tests for the fused Pallas traversal kernel.
+
+On CPU CI the kernel runs in interpreter mode (exact same program), so
+configs here are tiny. The reference is the XLA fast path, which is
+itself golden-tested against the NumPy model (tests/test_golden.py) —
+boundary-lane disagreements are tolerated because the kernel's exact-f32
+cone test is *more* conservative than the XLA path's matmul-based one
+(verified against the strict path on TPU).
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from sphereflake_tpu.config import RenderConfig, default_scene
+from sphereflake_tpu.render import render_gbuffer
+
+_BIG = 1e38
+
+
+def _cfg(**kw):
+    base = dict(
+        width=64,
+        height=32,
+        max_depth=2,
+        tile_h=16,
+        tile_w=32,
+        max_frontier=128,
+        tile_batch=4,
+    )
+    base.update(kw)
+    return RenderConfig(**base)
+
+
+@pytest.mark.parametrize("depth", [0, 1, 2])
+def test_pallas_matches_fast_path(depth):
+    scene = default_scene()
+    cfg_p = _cfg(max_depth=depth, algorithm="pallas")
+    cfg_f = _cfg(max_depth=depth, algorithm="fast")
+
+    gp = render_gbuffer(scene, cfg_p)
+    gf = render_gbuffer(scene, cfg_f)
+
+    hit_p = np.asarray(gp.hit)
+    hit_f = np.asarray(gf.hit)
+    # Cone-boundary lanes may differ (kernel cull is exact f32); require
+    # near-total agreement, exact values where both agree.
+    assert (hit_p == hit_f).mean() > 0.999
+    both = hit_p & hit_f
+    tp = np.asarray(gp.min_t)[both]
+    tf = np.asarray(gf.min_t)[both]
+    agree = np.isclose(tp, tf, rtol=1e-5, atol=1e-5)
+    assert agree.mean() > 0.99
+    if not agree.all():
+        # Disagreements must be near-ties (two spheres at ~equal t whose
+        # winner flips under f32 op-order differences), not wrong hits.
+        assert np.abs(tp[~agree] - tf[~agree]).max() < 1e-2
+    np.testing.assert_allclose(
+        np.asarray(gp.position)[both][agree],
+        np.asarray(gf.position)[both][agree],
+        rtol=1e-4,
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(gp.normal)[both][agree],
+        np.asarray(gf.normal)[both][agree],
+        rtol=1e-3,
+        atol=1e-3,
+    )
+
+
+def test_pallas_metrics_sane():
+    scene = default_scene()
+    gb = render_gbuffer(scene, _cfg(algorithm="pallas"))
+    assert int(gb.metrics.max_depth_reached) >= 1
+    assert int(gb.metrics.nodes_visited) > 0
+    assert float(gb.metrics.closest_distance) > 0.0
+    assert int(gb.metrics.rays_traced) == 64 * 32
+
+
+def test_pallas_camera_move_changes_image():
+    scene = default_scene()
+    cfg = _cfg(algorithm="pallas")
+    g1 = render_gbuffer(scene, cfg)
+    cam = dataclasses.replace(scene.camera, yaw=scene.camera.yaw + 0.05)
+    g2 = render_gbuffer(dataclasses.replace(scene, camera=cam), cfg)
+    assert not np.allclose(np.asarray(g1.min_t), np.asarray(g2.min_t))
