@@ -53,6 +53,94 @@ def ray_directions(cam: CameraParams, xs, ys, width: int, height: int):
     return normalize(target - origin)
 
 
+def tile_frustum_planes(
+    cam: CameraParams,
+    width: int,
+    height: int,
+    tile_h: int,
+    tile_w: int,
+    x_off: float = 0.0,
+    y_off: float = 0.0,
+    block_h: int | None = None,
+    block_w: int | None = None,
+):
+    """[T, 4, 3] inward unit normals of each screen tile's bounding
+    frustum (row-major over (tile_y, tile_x), matching `render._tile`).
+
+    A tile's rays are bilinear interpolations of the frustum corners
+    (`Sphereflake.cpp:162-167`), i.e. convex combinations of the tile's
+    4 corner directions — so the 4 planes through the origin and
+    adjacent corner pairs bound the whole bundle exactly. Corners are
+    taken half a pixel outside the outermost ray coordinates, which
+    keeps the frustum conservative for any in-tile sample jitter.
+
+    width/height are the FULL image dims (ray math must be global);
+    block_h/block_w (default: full image) describe the sub-image this
+    call tiles, offset by (x_off, y_off) pixels — the sharded path
+    renders per-device blocks of a larger frame.
+    """
+    bh = height if block_h is None else block_h
+    bw = width if block_w is None else block_w
+    ty, tx = bh // tile_h, bw // tile_w
+    y0 = jnp.arange(ty, dtype=jnp.float32) * tile_h - 0.5 + y_off
+    x0 = jnp.arange(tx, dtype=jnp.float32) * tile_w - 0.5 + x_off
+    y1, x1 = y0 + tile_h, x0 + tile_w
+
+    origin, tl, tr, bl = corner_rays(cam, width / height)
+    ex, ey = tr - tl, bl - tl
+
+    def corner_dir(gx, gy):
+        # Unnormalized is fine: plane normals get normalized below.
+        return (
+            tl
+            - origin
+            + ex * (gx / width)[..., None]
+            + ey * (gy / height)[..., None]
+        )
+
+    gy0, gx0 = jnp.meshgrid(y0, x0, indexing="ij")
+    gy1, gx1 = jnp.meshgrid(y1, x1, indexing="ij")
+    corners = jnp.stack(
+        [
+            corner_dir(gx0, gy0).reshape(-1, 3),
+            corner_dir(gx1, gy0).reshape(-1, 3),
+            corner_dir(gx1, gy1).reshape(-1, 3),
+            corner_dir(gx0, gy1).reshape(-1, 3),
+        ],
+        axis=1,
+    )  # [T, 4, 3]
+    axis = jnp.sum(corners, axis=1)
+    n = jnp.cross(corners, jnp.roll(corners, -1, axis=1))
+    n = n / jnp.maximum(
+        jnp.linalg.norm(n, axis=-1, keepdims=True), jnp.float32(1e-20)
+    )
+    s = jnp.sign(jnp.sum(n * axis[:, None, :], axis=-1, keepdims=True))
+    return n * jnp.where(s == 0, 1.0, s)
+
+
+def bundle_frustum_planes(dirs):
+    """[4, 3] conservative frustum planes for an arbitrary unit-ray
+    bundle `dirs` [R, 3]: a 4-plane pyramid circumscribing the bundle's
+    bounding cone. Falls back to all-pass planes (zeros) for bundles
+    wider than a hemisphere-ish cone, where no pyramid exists."""
+    axis = jnp.sum(dirs, axis=0)
+    axis = axis / jnp.sqrt(jnp.maximum(jnp.sum(axis * axis), 1e-20))
+    cos_t = jnp.min(dirs @ axis)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    # Orthobasis around the axis.
+    alt = jnp.where(jnp.abs(axis[0]) < 0.9, jnp.array([1.0, 0.0, 0.0]),
+                    jnp.array([0.0, 1.0, 0.0]))
+    u = jnp.cross(axis, alt)
+    u = u / jnp.sqrt(jnp.maximum(jnp.sum(u * u), 1e-20))
+    v = jnp.cross(axis, u)
+    # Plane normal tangent to the cone opposite lateral direction e:
+    # n = sin(t)*axis - cos(t)*e; dot(n, x) >= 0 for all cone dirs.
+    planes = jnp.stack(
+        [sin_t * axis - cos_t * e for e in (u, -u, v, -v)], axis=0
+    )
+    return jnp.where(cos_t > 0.05, planes, jnp.zeros_like(planes))
+
+
 def pixel_grid(width: int, height: int):
     """Integer pixel-coordinate grids xs, ys of shape [height, width].
 

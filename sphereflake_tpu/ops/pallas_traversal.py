@@ -2,37 +2,43 @@
 
 One `pallas_call` renders the whole G-buffer: the grid walks screen
 tiles; each grid step traverses the 9-ary sphereflake for its tile with
-the frontier resident in VMEM. This replaces the XLA levelwise path
-(`ops/traversal.py:trace_tile_fast`) whose per-level [rays, frontier]
-intermediates round-trip HBM and whose compaction lowers to gathers.
+the frontier resident in VMEM. Semantics match `trace_tile_fast` (the
+tile-as-packet reading of the reference's traversal,
+`Sphereflake.h:86-226`): per-node bounding(2r) + LOD culls decide which
+spheres are *candidates*; per-ray bounding/LOD/self tests decide hits.
 
-Semantics match `trace_tile_fast` (the tile-as-packet reading of the
-reference's traversal, `Sphereflake.h:86-226`): per-level bounding(2r) +
-LOD gate + self-sphere(r) tests with tile-cone-culled frontier
-expansion. Differences from the reference are the same ones the XLA
-fast path has (whole-tile cone instead of 8-lane movemask early-outs,
-`Sphereflake.h:140-144`).
+TPU-native design (v2 — the round-2 rewrite):
 
-TPU-native design notes:
-
+- **Frustum culling, not cones.** Each tile's ray bundle is exactly the
+  convex hull of its 4 corner rays (bilinear corner interpolation,
+  `Sphereflake.cpp:162-167`), so 4 plane tests dilated by the bounding
+  radius 2r give a tight, exactly conservative cull — the TPU analogue
+  of the reference's per-packet movemask early-out
+  (`Sphereflake.h:140-144`), hoisted from per-ray to per-node.
+- **Candidate queue.** Per-ray work is decoupled from the levelwise
+  expansion: every frustum-surviving node is appended to a queue
+  (center, |c|^2, r^2, lod*r, path code); the queue is stream-compacted
+  ONCE; rays then test it in 128-lane chunks. Per-ray cost is the
+  actual candidate count (typically a few hundred) instead of
+  128 x (depth+1) lanes of padding.
 - **Frontier as a row-SoA [16, C] panel** (9 rotation rows, 3
   translation rows, path code, valid flag, constant-one, spare). A
-  child expansion is then one [16, 16] @ [16, C] matmul per template —
-  the whole affine compose + code/valid bookkeeping as a single MXU op
-  (the reference does a 4x4 SSE multiply per visited node,
-  `SIMD_AVX.h:59-81`).
-- **Log-shift stream compaction** packs cone-surviving children left
-  in O(log N) vector rolls — no gathers, no sorts, all VPU. (Verified
-  against a scalar reference for 20k random masks.)
-- **Chunked per-ray tests with live-count gating**: rays test the
-  frontier 128 lanes at a time; `pl.when` skips chunks beyond the live
-  count and whole levels once the frontier dies, so sky tiles cost
-  almost nothing (the TPU analogue of the reference's early-outs).
-- **Path codes for the backward pass**: the winner's base-9 tree path
-  is threaded through the expansion matmuls and emitted per ray, so the
-  gradient path can recompute the winning sphere analytically outside
-  the kernel (straight-through selection, SURVEY §7) — no backward
-  kernel needed.
+  child expansion is one [16, 16] @ [16, C] matmul per template — the
+  whole affine compose + code bookkeeping as a single MXU op (the
+  reference does a 4x4 SSE multiply per visited node,
+  `SIMD_AVX.h:59-81`). Per-level static caps keep coarse levels tiny.
+- **Log-shift stream compaction** packs surviving lanes left in
+  O(log N) vector rolls — no gathers, no sorts, all VPU.
+- **Path codes are the only hit payload.** The winner's base-9 tree
+  path (sentinel-prefixed: root=1, child: code*9+j, so the level is
+  floor(log9 code)) is emitted per ray. `resolve_codes` re-derives the
+  winning sphere's frame and the analytic hit distance differentiably
+  in XLA — straight-through selection (SURVEY §7 stage 5), which is
+  what makes `jax.grad` flow through this production path with no
+  backward kernel.
+
+Path codes ride an f32 lane, so `max_depth <= 7` here (2*9^7 < 2^24
+stays exact); deeper renders use the XLA paths.
 """
 
 from __future__ import annotations
@@ -57,7 +63,25 @@ _TX, _TY, _TZ = 9, 10, 11
 _CODE, _VALID, _ONE, _SPARE = 12, 13, 14, 15
 _ROWS = 16
 
-_LANES = 128  # VPU lane width; frontier chunk size for per-ray tests.
+# Queue rows.
+_QX, _QY, _QZ, _QCC, _QR2, _QLODR, _QCODE, _QSPARE = range(8)
+_QROWS = 8
+
+_LANES = 128  # VPU lane width; queue chunk size for per-ray tests.
+
+PALLAS_MAX_DEPTH = 7  # f32 path-code exactness bound (2*9^7 < 2^24)
+
+
+def _ru128(n: int) -> int:
+    return ((n + 127) // 128) * 128
+
+
+def level_caps(cfg: RenderConfig) -> list[int]:
+    """Static frontier capacity per level, each a multiple of 128."""
+    cap = max(128, (cfg.max_frontier // 128) * 128)
+    return [
+        min(_ru128(9**level), cap) for level in range(cfg.max_depth + 1)
+    ]
 
 
 def _expansion_matrices(templates: Array, scales: Array) -> Array:
@@ -65,9 +89,9 @@ def _expansion_matrices(templates: Array, scales: Array) -> Array:
 
     child_panel = M[level, j] @ parent_panel implements
     `worldTransform = parentTransform * childTransform`
-    (`Sphereflake.h:165-169`) on the row-SoA panel, plus path-code and
-    valid-flag propagation. templates: [9, 3, 4] unit child frames;
-    scales: [D] tangent distances (1 + ratio) * radius_level
+    (`Sphereflake.h:165-169`) on the row-SoA panel, plus path-code
+    propagation (code' = 9*code + j). templates: [9, 3, 4] unit child
+    frames; scales: [D] tangent distances (1 + ratio) * radius_level
     (`Sphereflake.h:162-168`).
     """
     D = scales.shape[0]
@@ -99,11 +123,14 @@ def _expansion_matrices(templates: Array, scales: Array) -> Array:
 
 
 def _initial_panel(root: Array, cap: int) -> Array:
-    """[16, C] frontier panel holding the root frame in slot 0."""
+    """[16, cap] frontier panel holding the root frame in slot 0.
+
+    The root path code is the sentinel 1 (so level = floor(log9 code))."""
     panel = jnp.zeros((_ROWS, cap), jnp.float32)
     rot = root[:, :3].reshape(9)
     panel = panel.at[:9, 0].set(rot)
     panel = panel.at[_TX:_TZ + 1, 0].set(root[:, 3])
+    panel = panel.at[_CODE, 0].set(1.0)
     panel = panel.at[_VALID, 0].set(1.0)
     panel = panel.at[_ONE, :].set(1.0)  # constant row feeds code digits
     return panel
@@ -133,176 +160,207 @@ def _num_steps(n: int) -> int:
     return steps
 
 
+def _compact_rows(data, keep, width: int, nrows: int):
+    """Log-shift stream compaction: pack lanes where keep is true to the
+    left of `data` [nrows, width]. Returns (packed, total kept [])."""
+    keep_i = keep.astype(jnp.int32)
+    pos = _cumsum_lanes(keep_i, width)  # inclusive
+    total = pos[0, width - 1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
+    mv = jnp.where(keep, lane - (pos - 1), 0)
+    for k in range(_num_steps(width)):
+        sh = 1 << k
+        mv_s = _roll_left(mv, sh)
+        take = ((mv_s >> k) & 1) != 0
+        data = jnp.where(take, _roll_left(data, sh), data)
+        mv = jnp.where(take, mv_s - sh, mv)
+    return data, total
+
+
 def make_trace_kernel(cfg: RenderConfig, rays: int):
     """Build the pallas kernel body for a tile of `rays` rays."""
-    cap = cfg.max_frontier
-    assert cap % _LANES == 0, "max_frontier must be a multiple of 128"
-    chunks = cap // _LANES
-    n_child = 9 * cap
     depth = cfg.max_depth
+    caps = level_caps(cfg)
+    offs = [0]
+    for c in caps:
+        offs.append(offs[-1] + c)
+    qtot = offs[-1]
+    n_chunks = qtot // _LANES
 
     def kernel(
-        levels_ref,  # SMEM [4, depth+1]: radius, r^2, lod*r, unused
+        levels_ref,  # SMEM [4, depth+1]: radius, r^2, 4r^2, lod^2*r
+        planes_ref,  # SMEM [1, 1, 12]: 4 inward unit frustum normals
         dirs_ref,  # VMEM [1, rays, 3]
-        panel0_ref,  # VMEM [16, cap] initial frontier
-        expand_ref,  # VMEM [depth, 9, 16, 16] (absent when depth == 0)
-        out_ref,  # VMEM [1, rays, 8]: t, cx, cy, cz, code, level, -, -
-        mout_ref,  # SMEM [1, 1, 8]: nodes, overflow, max_depth, live, ...
-        panel,  # VMEM scratch [16, cap]
-        children,  # VMEM scratch [16, 9*cap]
-        best,  # VMEM scratch [rays, 8]
+        panel0_ref,  # VMEM [16, caps[0]] initial frontier
+        expand_ref,  # VMEM [depth, 9, 16, 16] (dummy when depth == 0)
+        out_ref,  # VMEM [1, rays, 8]: t, code, -, ...
+        mout_ref,  # SMEM [1, 1, 8]: qlen, overflow, max_depth, live, ...
+        panel,  # VMEM scratch [16, max(caps)]
+        children,  # VMEM scratch [16, 9*max(caps)]
+        queue,  # VMEM scratch [8, qtot]
+        best,  # VMEM scratch [rays, 2]
         live_ref,  # SMEM scratch [4]
     ):
         dx = dirs_ref[0, :, 0:1]  # [rays, 1]
         dy = dirs_ref[0, :, 1:2]
         dz = dirs_ref[0, :, 2:3]
 
-        # Tile bounding cone (ops/traversal.py:tile_cone).
-        sx, sy, sz = jnp.sum(dx), jnp.sum(dy), jnp.sum(dz)
-        inv = jax.lax.rsqrt(jnp.maximum(sx * sx + sy * sy + sz * sz, 1e-20))
-        ax, ay, az = sx * inv, sy * inv, sz * inv
-        cos_t = jnp.min(dx * ax + dy * ay + dz * az)
-        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
-
-        panel[:] = panel0_ref[:]
+        panel[:, : caps[0]] = panel0_ref[:]
         best[:, 0:1] = jnp.full((rays, 1), _BIG, jnp.float32)
-        best[:, 1:8] = jnp.zeros((rays, 7), jnp.float32)
+        best[:, 1:2] = jnp.zeros((rays, 1), jnp.float32)
         live_ref[0] = jnp.int32(1)
-        live_ref[1] = jnp.int32(0)  # nodes visited
-        live_ref[2] = jnp.int32(0)  # overflow
-        live_ref[3] = jnp.int32(0)  # max depth reached
+        live_ref[1] = jnp.int32(0)  # overflow
+        live_ref[2] = jnp.int32(0)  # max depth reached
 
-        lane_r = jax.lax.broadcasted_iota(jnp.int32, (rays, _LANES), 1)
-
+        # ---- phase 1: expansion + queue append (node-lane work) ----
         for level in range(depth + 1):
-            radius = levels_ref[0, level]
-            r_sq = levels_ref[1, level]
-            lod_r = levels_ref[2, level]
+            cap = caps[level]
+            off = offs[level]
             live = live_ref[0]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
 
             @pl.when(live > 0)
             def _():
-                live_ref[1] += live
-                live_ref[3] = jnp.int32(level)
+                live_ref[2] = jnp.int32(level)
 
-            # ---- per-ray tests, one 128-lane chunk at a time ----
-            for c in range(chunks):
-                lo = c * _LANES
-
-                @pl.when(live > lo)
-                def _():
-                    cx = panel[_TX:_TX + 1, lo:lo + _LANES]  # [1, 128]
-                    cy = panel[_TY:_TY + 1, lo:lo + _LANES]
-                    cz = panel[_TZ:_TZ + 1, lo:lo + _LANES]
-                    ok = panel[_VALID:_VALID + 1, lo:lo + _LANES] > 0.0
-                    cc = cx * cx + cy * cy + cz * cz
-                    tca = dx * cx + dy * cy + dz * cz  # [rays, 128]
-                    d2 = cc - tca * tca
-                    b_gap = jnp.maximum(4.0 * r_sq - d2, 0.0)
-                    tb = tca - jnp.sqrt(b_gap)
-                    shit = (
-                        (tca >= 0.0)
-                        & ok
-                        & (tb < lod_r)
-                        & (d2 <= r_sq)
-                    )
-                    ts = tca - jnp.sqrt(jnp.maximum(r_sq - d2, 0.0))
-                    ts = jnp.where(shit, ts, _BIG)
-                    t_lvl = jnp.min(ts, axis=1, keepdims=True)  # [rays, 1]
-                    upd = t_lvl < best[:, 0:1]
-
-                    @pl.when(jnp.any(upd))
-                    def _():
-                        idx = jnp.min(
-                            jnp.where(ts <= t_lvl, lane_r, n_child),
-                            axis=1,
-                            keepdims=True,
-                        )
-                        oh = (lane_r == idx).astype(jnp.float32)
-                        pick = lambda row: jnp.sum(oh * row, axis=1,
-                                                   keepdims=True)
-                        best[:, 0:1] = jnp.where(upd, t_lvl, best[:, 0:1])
-                        best[:, 1:2] = jnp.where(upd, pick(cx), best[:, 1:2])
-                        best[:, 2:3] = jnp.where(upd, pick(cy), best[:, 2:3])
-                        best[:, 3:4] = jnp.where(upd, pick(cz), best[:, 3:4])
-                        best[:, 4:5] = jnp.where(
-                            upd,
-                            pick(panel[_CODE:_CODE + 1, lo:lo + _LANES]),
-                            best[:, 4:5],
-                        )
-                        best[:, 5:6] = jnp.where(
-                            upd, jnp.float32(level), best[:, 5:6]
-                        )
+            # Append this level's live nodes to the queue segment
+            # (invalid lanes carry r2 = -1 so every ray test fails).
+            cx = panel[_TX:_TX + 1, :cap]
+            cy = panel[_TY:_TY + 1, :cap]
+            cz = panel[_TZ:_TZ + 1, :cap]
+            okv = lane < live
+            queue[_QX:_QX + 1, off:off + cap] = cx
+            queue[_QY:_QY + 1, off:off + cap] = cy
+            queue[_QZ:_QZ + 1, off:off + cap] = cz
+            queue[_QCC:_QCC + 1, off:off + cap] = cx * cx + cy * cy + cz * cz
+            queue[_QR2:_QR2 + 1, off:off + cap] = jnp.where(
+                okv, levels_ref[1, level], -1.0
+            )
+            queue[_QLODR:_QLODR + 1, off:off + cap] = jnp.full(
+                (1, cap), 1.0, jnp.float32
+            ) * levels_ref[3, level]
+            queue[_QCODE:_QCODE + 1, off:off + cap] = panel[
+                _CODE:_CODE + 1, :cap
+            ]
+            queue[_QSPARE:_QSPARE + 1, off:off + cap] = jnp.zeros(
+                (1, cap), jnp.float32
+            )
 
             if level == depth:
                 break
 
-            # ---- expansion: compose children, cone-cull, compact ----
+            # Expansion: compose children, frustum-cull, compact.
+            cap_n = caps[level + 1]
+            width = 9 * cap
+
             @pl.when(live > 0)
             def _():
                 for j in range(9):
                     children[:, j * cap:(j + 1) * cap] = jax.lax.dot(
                         expand_ref[level, j],
-                        panel[:],
+                        panel[:, :cap],
                         precision=jax.lax.Precision.HIGHEST,
                     )
 
                 r_c = levels_ref[0, level + 1]
-                lod_rc = levels_ref[2, level + 1]
-                ccx = children[_TX:_TX + 1, :]  # [1, 9*cap]
-                ccy = children[_TY:_TY + 1, :]
-                ccz = children[_TZ:_TZ + 1, :]
+                lod_rc = levels_ref[3, level + 1]
+                ccx = children[_TX:_TX + 1, :width]  # [1, width]
+                ccy = children[_TY:_TY + 1, :width]
+                ccz = children[_TZ:_TZ + 1, :width]
                 cc = ccx * ccx + ccy * ccy + ccz * ccz
                 dist = jnp.sqrt(jnp.maximum(cc, 1e-20))
-                # Cone-vs-sphere(2r) + conservative LOD
-                # (ops/traversal.py:_cone_cull).
-                sin_p = jnp.minimum(2.0 * r_c / dist, 1.0)
-                cos_p = jnp.sqrt(jnp.maximum(1.0 - sin_p * sin_p, 0.0))
-                cos_sum = cos_t * cos_p - sin_t * sin_p
-                cos_b = (ccx * ax + ccy * ay + ccz * az) / dist
-                inside = dist <= 2.0 * r_c
-                lod_ok = (dist - 2.0 * r_c) < lod_rc
-                keep = (
-                    (inside | (cos_b >= cos_sum))
-                    & lod_ok
-                    & (children[_VALID:_VALID + 1, :] > 0.0)
-                )
+                # Conservative LOD: closest possible bounding-sphere hit
+                # (dist - 2r) still below the cut (`Sphereflake.h:146`).
+                keep = (dist - 2.0 * r_c) < lod_rc
+                # Frustum: inward planes dilated by the bounding radius.
+                neg2r = -2.0 * r_c
+                for p in range(4):
+                    d_p = (
+                        planes_ref[0, 0, 3 * p] * ccx
+                        + planes_ref[0, 0, 3 * p + 1] * ccy
+                        + planes_ref[0, 0, 3 * p + 2] * ccz
+                    )
+                    keep = keep & (d_p >= neg2r)
+                keep = keep & (children[_VALID:_VALID + 1, :width] > 0.0)
 
-                # Log-shift stream compaction of kept lanes.
-                keep_i = keep.astype(jnp.int32)
-                pos = _cumsum_lanes(keep_i, n_child)  # inclusive
-                total = pos[0, n_child - 1]
-                lane = jax.lax.broadcasted_iota(jnp.int32, (1, n_child), 1)
-                mv = jnp.where(keep, lane - (pos - 1), 0)
-                data = children[:]
-                for k in range(_num_steps(n_child)):
-                    sh = 1 << k
-                    mv_s = _roll_left(mv, sh)
-                    take = ((mv_s >> k) & 1) != 0
-                    data = jnp.where(take, _roll_left(data, sh), data)
-                    mv = jnp.where(take, mv_s - sh, mv)
-
-                new_live = jnp.minimum(total, cap)
-                lane_c = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
-                panel[:] = data[:, :cap]
-                panel[_VALID:_VALID + 1, :] = jnp.where(
-                    lane_c < new_live, 1.0, 0.0
+                # The last expansion's output is only ever self-tested,
+                # so only translation + code rows need compacting.
+                row_lo = _TX if level + 1 == depth else 0
+                packed, total = _compact_rows(
+                    children[row_lo:_CODE + 1, :width],
+                    keep,
+                    width,
+                    _CODE + 1 - row_lo,
                 )
-                panel[_ONE:_ONE + 1, :] = jnp.ones((1, cap), jnp.float32)
+                new_live = jnp.minimum(total, cap_n)
+                lane_n = jax.lax.broadcasted_iota(jnp.int32, (1, cap_n), 1)
+                panel[row_lo:_CODE + 1, :cap_n] = packed[:, :cap_n]
+                panel[_VALID:_VALID + 1, :cap_n] = jnp.where(
+                    lane_n < new_live, 1.0, 0.0
+                )
+                panel[_ONE:_ONE + 1, :cap_n] = jnp.ones((1, cap_n), jnp.float32)
                 live_ref[0] = new_live
-                live_ref[2] += jnp.maximum(total - cap, 0)
+                live_ref[1] += jnp.maximum(total - cap_n, 0)
+
+        # ---- phase 1.5: compact the queue once ----
+        keepq = queue[_QR2:_QR2 + 1, :] > 0.0
+        packedq, qlen = _compact_rows(queue[:, :], keepq, qtot, _QROWS)
+        lane_q = jax.lax.broadcasted_iota(jnp.int32, (1, qtot), 1)
+        queue[:, :] = packedq
+        queue[_QR2:_QR2 + 1, :] = jnp.where(
+            lane_q < qlen, packedq[_QR2:_QR2 + 1, :], -1.0
+        )
+        live_ref[3] = qlen
+
+        # ---- phase 2: per-ray tests, one 128-lane chunk at a time ----
+        lane_r = jax.lax.broadcasted_iota(jnp.int32, (rays, _LANES), 1)
+        for c in range(n_chunks):
+            lo = c * _LANES
+
+            @pl.when(qlen > lo)
+            def _():
+                cx = queue[_QX:_QX + 1, lo:lo + _LANES]  # [1, 128]
+                cy = queue[_QY:_QY + 1, lo:lo + _LANES]
+                cz = queue[_QZ:_QZ + 1, lo:lo + _LANES]
+                cc = queue[_QCC:_QCC + 1, lo:lo + _LANES]
+                r2 = queue[_QR2:_QR2 + 1, lo:lo + _LANES]
+                lodr = queue[_QLODR:_QLODR + 1, lo:lo + _LANES]
+                tca = dx * cx + dy * cy + dz * cz  # [rays, 128]
+                d2 = cc - tca * tca
+                tb = tca - jnp.sqrt(jnp.maximum(4.0 * r2 - d2, 0.0))
+                ok = (
+                    (tca >= 0.0)
+                    & (tb < lodr)
+                    & (d2 <= r2)
+                )
+                ts = tca - jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
+                ts = jnp.where(ok, ts, _BIG)
+                t_chunk = jnp.min(ts, axis=1, keepdims=True)  # [rays, 1]
+                upd = t_chunk < best[:, 0:1]
+
+                @pl.when(jnp.any(upd))
+                def _():
+                    idx = jnp.min(
+                        jnp.where(ts <= t_chunk, lane_r, qtot),
+                        axis=1,
+                        keepdims=True,
+                    )
+                    oh = (lane_r == idx).astype(jnp.float32)
+                    code_pick = jnp.sum(
+                        oh * queue[_QCODE:_QCODE + 1, lo:lo + _LANES],
+                        axis=1,
+                        keepdims=True,
+                    )
+                    best[:, 0:1] = jnp.where(upd, t_chunk, best[:, 0:1])
+                    best[:, 1:2] = jnp.where(upd, code_pick, best[:, 1:2])
 
         out_ref[0, :, 0:1] = best[:, 0:1]
         out_ref[0, :, 1:2] = best[:, 1:2]
-        out_ref[0, :, 2:3] = best[:, 2:3]
-        out_ref[0, :, 3:4] = best[:, 3:4]
-        out_ref[0, :, 4:5] = best[:, 4:5]
-        out_ref[0, :, 5:6] = best[:, 5:6]
-        out_ref[0, :, 6:8] = jnp.zeros((rays, 2), jnp.float32)
-        mout_ref[0, 0, 0] = live_ref[1]
-        mout_ref[0, 0, 1] = live_ref[2]
-        mout_ref[0, 0, 2] = live_ref[3]
-        mout_ref[0, 0, 3] = live_ref[0]
+        out_ref[0, :, 2:8] = jnp.zeros((rays, 6), jnp.float32)
+        mout_ref[0, 0, 0] = live_ref[3]  # nodes ray-tested (queue length)
+        mout_ref[0, 0, 1] = live_ref[1]  # overflow
+        mout_ref[0, 0, 2] = live_ref[2]  # deepest level with live nodes
+        mout_ref[0, 0, 3] = live_ref[0]  # final live count
         mout_ref[0, 0, 4] = jnp.int32(0)
         mout_ref[0, 0, 5] = jnp.int32(0)
         mout_ref[0, 0, 6] = jnp.int32(0)
@@ -314,6 +372,7 @@ def make_trace_kernel(cfg: RenderConfig, rays: int):
 @partial(jax.jit, static_argnames=("cfg", "interpret"))
 def trace_tiles_pallas(
     tile_dirs: Array,  # [T, R, 3] unit ray dirs per tile
+    tile_planes: Array,  # [T, 4, 3] inward unit frustum plane normals
     root: Array,  # [3, 4]
     templates: Array,  # [9, 3, 4]
     fractal: FractalParams,
@@ -322,18 +381,30 @@ def trace_tiles_pallas(
 ):
     """Trace all tiles with the fused kernel.
 
-    Returns (out [T, R, 8], metrics [T, 8] int32). out columns:
-    t (_BIG at miss), winner center xyz, base-9 path code, level.
+    Returns (out [T, R, 8], metrics [T, 1, 8] int32). out columns:
+    t (_BIG at miss), sentinel-prefixed base-9 path code (0 at miss).
+    Non-differentiable by construction (inputs are stop-gradiented);
+    gradients flow through `resolve_codes` instead.
     """
+    assert cfg.max_depth <= PALLAS_MAX_DEPTH, (
+        f"pallas path supports max_depth <= {PALLAS_MAX_DEPTH} "
+        "(f32 path-code exactness); use an XLA algorithm for deeper"
+    )
+    sg = jax.lax.stop_gradient
+    tile_dirs, tile_planes, root, templates, fractal = sg(
+        (tile_dirs, tile_planes, root, templates, fractal)
+    )
     T, rays, _ = tile_dirs.shape
     depth = cfg.max_depth
-    cap = cfg.max_frontier
+    caps = level_caps(cfg)
+    capmax = max(caps)
+    qtot = sum(caps)
 
     levels = jnp.arange(depth + 1, dtype=jnp.float32)
     radii = fractal.root_radius * fractal.radius_ratio ** levels
     lod_sq = jnp.float32(cfg.lod_factor**2)
     level_tab = jnp.stack(
-        [radii, radii * radii, lod_sq * radii, jnp.zeros_like(radii)]
+        [radii, radii * radii, 4.0 * radii * radii, lod_sq * radii]
     )  # [4, depth+1]
 
     scales = (1.0 + fractal.radius_ratio) * radii[:-1] if depth > 0 else (
@@ -344,7 +415,8 @@ def trace_tiles_pallas(
         if depth > 0
         else jnp.zeros((1, 9, _ROWS, _ROWS), jnp.float32)
     )
-    panel0 = _initial_panel(root, cap)
+    panel0 = _initial_panel(root, caps[0])
+    planes_flat = tile_planes.reshape(T, 1, 12)
 
     kernel = make_trace_kernel(cfg, rays)
     n_expand = max(depth, 1)
@@ -357,10 +429,13 @@ def trace_tiles_pallas(
                 (4, depth + 1), lambda i: (0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
+                (1, 1, 12), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
                 (1, rays, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (_ROWS, cap), lambda i: (0, 0), memory_space=pltpu.VMEM
+                (_ROWS, caps[0]), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (n_expand, 9, _ROWS, _ROWS),
@@ -381,11 +456,82 @@ def trace_tiles_pallas(
             jax.ShapeDtypeStruct((T, 1, 8), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((_ROWS, cap), jnp.float32),
-            pltpu.VMEM((_ROWS, 9 * cap), jnp.float32),
-            pltpu.VMEM((rays, 8), jnp.float32),
+            pltpu.VMEM((_ROWS, capmax), jnp.float32),
+            pltpu.VMEM((_ROWS, 9 * capmax), jnp.float32),
+            pltpu.VMEM((_QROWS, qtot), jnp.float32),
+            pltpu.VMEM((rays, 2), jnp.float32),
             pltpu.SMEM((4,), jnp.int32),
         ],
         interpret=interpret,
-    )(level_tab, tile_dirs, panel0, expand)
+    )(level_tab, planes_flat, tile_dirs, panel0, expand)
     return out, metrics
+
+
+def resolve_codes(
+    dirs: Array,  # [..., 3] unit ray directions
+    code_f: Array,  # [...] f32 sentinel path codes from the kernel
+    root: Array,  # [3, 4]
+    templates: Array,  # [9, 3, 4]
+    fractal: FractalParams,
+    cfg: RenderConfig,
+):
+    """Differentiably re-derive each ray's winning sphere from its path
+    code: (min_t, center [..., 3], hit [...]).
+
+    This is the straight-through backward surface (SURVEY §7 stage 5):
+    the *discrete* winner choice comes from the kernel (stop-gradient by
+    construction); the winner's frame is re-composed from the templates
+    and the analytic ray-sphere distance (`SIMD_AVX.h:236-270`) is
+    recomputed in XLA, so `jax.grad` flows into camera pose, fractal
+    geometry and radii exactly as it does through the strict XLA path.
+    """
+    shape = code_f.shape
+    code = jax.lax.stop_gradient(code_f).astype(jnp.int32).reshape(-1)
+    flat_dirs = dirs.reshape(-1, 3)
+    hit = code >= 1
+
+    depth = cfg.max_depth
+    pow9 = [9**k for k in range(depth + 2)]
+    # level = floor(log9 code): count thresholds passed.
+    level = jnp.zeros_like(code)
+    for k in range(1, depth + 1):
+        level = level + (code >= pow9[k]).astype(jnp.int32)
+    pow_tab = jnp.asarray(pow9, jnp.int32)
+    rem = code - jnp.take(pow_tab, level)  # digits only
+
+    ratio = fractal.radius_ratio
+    radius0 = fractal.root_radius
+    frame = jnp.broadcast_to(root, (code.shape[0], 3, 4))
+    radius = radius0
+    for k in range(depth):
+        # Base-9 digit for expansion step k (most significant first).
+        p = jnp.take(pow_tab, jnp.maximum(level - 1 - k, 0))
+        d = (rem // p) % 9
+        scale = (1.0 + ratio) * radius
+        tmpl = templates.at[:, :, 3].multiply(scale)  # [9, 3, 4]
+        onehot = (d[:, None] == jnp.arange(9)[None, :]).astype(jnp.float32)
+        chosen = jnp.einsum(
+            "nj,jab->nab", onehot, tmpl,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        from sphereflake_tpu.ops.transforms import rt_multiply
+
+        new_frame = rt_multiply(frame, chosen)
+        take = (k < level)[:, None, None]
+        frame = jnp.where(take, new_frame, frame)
+        radius = radius * ratio
+
+    center = frame[:, :, 3]
+    r_hit = radius0 * fractal.radius_ratio ** level.astype(jnp.float32)
+    tca = jnp.sum(flat_dirs * center, axis=-1)
+    d2 = jnp.sum(center * center, axis=-1) - tca * tca
+    from sphereflake_tpu.ops.intersect import safe_sqrt
+
+    t = tca - safe_sqrt(r_hit * r_hit - d2)
+    min_t = jnp.where(hit, t, _BIG)
+    center = jnp.where(hit[:, None], center, 0.0)
+    return (
+        min_t.reshape(shape),
+        center.reshape(*shape, 3),
+        hit.reshape(shape),
+    )

@@ -91,19 +91,41 @@ def render_frame(scene: SceneParams, cfg: RenderConfig):
     return image, gb
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def render_gbuffer(scene: SceneParams, cfg: RenderConfig) -> GBuffer:
-    """Render the full-frame G-buffer for `scene` (pure, differentiable)."""
-    xs, ys = pixel_grid(cfg.width, cfg.height)
-    dirs = ray_directions(scene.camera, xs, ys, cfg.width, cfg.height)
-
+def trace_tiles(
+    tiles: Array,  # [T, R, 3] unit ray dirs
+    tile_planes: Array,  # [T, 4, 3] frustum planes (pallas path only)
+    scene: SceneParams,
+    cfg: RenderConfig,
+) -> TraceResult:
+    """Trace a batch of ray tiles — the unified dispatch over all
+    traversal implementations (`cfg.algorithm`), batched over tiles.
+    Differentiable on every path (the pallas path via the path-code
+    recompute in `ops/pallas_traversal.resolve_codes`)."""
     root = root_frame(scene.camera.position)
     templates = child_templates(scene.fractal)
 
-    tiles = _tile(dirs, cfg)  # [T, R, 3]
-
     if cfg.algorithm == "pallas":
-        return _render_gbuffer_pallas(scene, cfg, tiles, root, templates)
+        from sphereflake_tpu.ops.pallas_traversal import (
+            resolve_codes,
+            trace_tiles_pallas,
+        )
+
+        interpret = jax.default_backend() != "tpu"
+        out, m = trace_tiles_pallas(
+            tiles, tile_planes, root, templates, scene.fractal, cfg,
+            interpret=interpret,
+        )
+        min_t, center, hit = resolve_codes(
+            tiles, out[:, :, 1], root, templates, scene.fractal, cfg
+        )
+        return TraceResult(
+            min_t=min_t,
+            center=center,
+            hit=hit,
+            max_depth_reached=jnp.max(m[:, 0, 2]),
+            nodes_visited=jnp.sum(m[:, 0, 0]),
+            overflow=jnp.sum(m[:, 0, 1]),
+        )
 
     tracer = tile_tracer(cfg)
 
@@ -119,60 +141,43 @@ def render_gbuffer(scene: SceneParams, cfg: RenderConfig) -> GBuffer:
         res = jax.tree.map(lambda x: x.reshape(n_tiles, *x.shape[2:]), res)
     else:
         res = jax.vmap(trace_one)(tiles)
-
-    position_t, normal_t = shade_gbuffer(tiles, res)
-
-    min_t = _untile(res.min_t, cfg)
-    hit = _untile(res.hit, cfg)
-    metrics = RenderMetrics(
+    return TraceResult(
+        min_t=res.min_t,
+        center=res.center,
+        hit=res.hit,
         max_depth_reached=jnp.max(res.max_depth_reached),
         nodes_visited=jnp.sum(res.nodes_visited),
         overflow=jnp.sum(res.overflow),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_gbuffer(scene: SceneParams, cfg: RenderConfig) -> GBuffer:
+    """Render the full-frame G-buffer for `scene` (pure, differentiable)."""
+    from sphereflake_tpu.camera import tile_frustum_planes
+
+    xs, ys = pixel_grid(cfg.width, cfg.height)
+    dirs = ray_directions(scene.camera, xs, ys, cfg.width, cfg.height)
+
+    tiles = _tile(dirs, cfg)  # [T, R, 3]
+    planes = tile_frustum_planes(
+        scene.camera, cfg.width, cfg.height, cfg.tile_h, cfg.tile_w
+    )
+
+    res = trace_tiles(tiles, planes, scene, cfg)
+    position_t, normal_t = shade_gbuffer(tiles, res)
+
+    metrics = RenderMetrics(
+        max_depth_reached=res.max_depth_reached,
+        nodes_visited=res.nodes_visited,
+        overflow=res.overflow,
         closest_distance=jnp.min(jnp.where(res.hit, res.min_t, _BIG)),
         rays_traced=jnp.int32(cfg.width * cfg.height),
     )
     return GBuffer(
         position=_untile(position_t, cfg),
         normal=_untile(normal_t, cfg),
-        min_t=min_t,
-        hit=hit,
-        metrics=metrics,
-    )
-
-
-def _render_gbuffer_pallas(scene, cfg, tiles, root, templates) -> GBuffer:
-    """G-buffer via the fused Pallas traversal kernel
-    (`ops/pallas_traversal.py`). Shading (position = dir * t, normal =
-    normalize(pos - center), `Sphereflake.cpp:186-201`) happens in XLA —
-    it fuses into the consumers."""
-    from sphereflake_tpu.ops.pallas_traversal import trace_tiles_pallas
-
-    interpret = jax.default_backend() != "tpu"
-    out, m = trace_tiles_pallas(
-        tiles, root, templates, scene.fractal, cfg, interpret=interpret
-    )
-    t_raw = out[:, :, 0]
-    hit_t = t_raw < _BIG
-    res = TraceResult(
-        min_t=t_raw,
-        center=out[:, :, 1:4],
-        hit=hit_t,
-        max_depth_reached=jnp.max(m[:, 0, 2]),
-        nodes_visited=jnp.sum(m[:, 0, 0]),
-        overflow=jnp.sum(m[:, 0, 1]),
-    )
-    position_t, normal_t = shade_gbuffer(tiles, res)
-    metrics = RenderMetrics(
-        max_depth_reached=res.max_depth_reached,
-        nodes_visited=res.nodes_visited,
-        overflow=res.overflow,
-        closest_distance=jnp.min(jnp.where(hit_t, t_raw, _BIG)),
-        rays_traced=jnp.int32(cfg.width * cfg.height),
-    )
-    return GBuffer(
-        position=_untile(position_t, cfg),
-        normal=_untile(normal_t, cfg),
-        min_t=_untile(t_raw, cfg),
-        hit=_untile(hit_t, cfg),
+        min_t=_untile(res.min_t, cfg),
+        hit=_untile(res.hit, cfg),
         metrics=metrics,
     )
