@@ -169,7 +169,15 @@ class RenderConfig:
     background: float = 0.0  # sky writes zeros (post_final.glsl:20-24)
 
     def __post_init__(self):
-        if self.width % self.tile_w or self.height % self.tile_h:
+        if self.algorithm == "pallas":
+            # The pallas kernel maps one tile onto one [8, 128] vreg;
+            # the image is padded to a tile multiple and cropped after.
+            if self.tile_h * self.tile_w != 1024:
+                raise ValueError(
+                    "algorithm='pallas' requires tile_h * tile_w == 1024 "
+                    f"(one vreg of rays), got {self.tile_h}x{self.tile_w}"
+                )
+        elif self.width % self.tile_w or self.height % self.tile_h:
             raise ValueError(
                 f"image {self.width}x{self.height} must be divisible by "
                 f"tile {self.tile_w}x{self.tile_h}"
@@ -178,12 +186,21 @@ class RenderConfig:
             raise ValueError("max_depth must be >= 0")
 
     @property
+    def padded_width(self) -> int:
+        """Width rounded up to a tile multiple (pallas pads + crops)."""
+        return -(-self.width // self.tile_w) * self.tile_w
+
+    @property
+    def padded_height(self) -> int:
+        return -(-self.height // self.tile_h) * self.tile_h
+
+    @property
     def tiles_x(self) -> int:
-        return self.width // self.tile_w
+        return self.padded_width // self.tile_w
 
     @property
     def tiles_y(self) -> int:
-        return self.height // self.tile_h
+        return self.padded_height // self.tile_h
 
     @property
     def aspect(self) -> float:

@@ -1,34 +1,36 @@
 """Fused Pallas traversal kernel — the production TPU fast path.
 
 One `pallas_call` renders the whole G-buffer: the grid walks screen
-tiles; each grid step traverses the 9-ary sphereflake for its tile with
-the frontier resident in VMEM. Semantics match `trace_tile_fast` (the
-tile-as-packet reading of the reference's traversal,
-`Sphereflake.h:86-226`): per-node bounding(2r) + LOD culls decide which
-spheres are *candidates*; per-ray bounding/LOD/self tests decide hits.
+tiles; each grid step traverses the 9-ary sphereflake for its tile.
+Semantics match `trace_tile_fast` (the tile-as-packet reading of the
+reference's traversal, `Sphereflake.h:86-226`): per-node bounding(2r) +
+LOD culls decide which spheres are *candidates*; per-ray
+bounding/LOD/self tests decide hits.
 
-TPU-native design (v2 — the round-2 rewrite):
+TPU-native design (v3 — the latency-aware round-2 rewrite):
 
+- **A tile is exactly one vreg.** 1024 rays = [8, 128] f32, so every
+  per-ray op runs at full VPU occupancy and the dirs/out blocks
+  ([3, 8, 128] / [2, 8, 128]) have zero DMA padding waste.
 - **Frustum culling, not cones.** Each tile's ray bundle is exactly the
   convex hull of its 4 corner rays (bilinear corner interpolation,
   `Sphereflake.cpp:162-167`), so 4 plane tests dilated by the bounding
   radius 2r give a tight, exactly conservative cull — the TPU analogue
   of the reference's per-packet movemask early-out
   (`Sphereflake.h:140-144`), hoisted from per-ray to per-node.
-- **Candidate queue.** Per-ray work is decoupled from the levelwise
-  expansion: every frustum-surviving node is appended to a queue
-  (center, |c|^2, r^2, lod*r, path code); the queue is stream-compacted
-  ONCE; rays then test it in 128-lane chunks. Per-ray cost is the
-  actual candidate count (typically a few hundred) instead of
-  128 x (depth+1) lanes of padding.
-- **Frontier as a row-SoA [16, C] panel** (9 rotation rows, 3
-  translation rows, path code, valid flag, constant-one, spare). A
-  child expansion is one [16, 16] @ [16, C] matmul per template — the
-  whole affine compose + code bookkeeping as a single MXU op (the
-  reference does a 4x4 SSE multiply per visited node,
-  `SIMD_AVX.h:59-81`). Per-level static caps keep coarse levels tiny.
-- **Log-shift stream compaction** packs surviving lanes left in
-  O(log N) vector rolls — no gathers, no sorts, all VPU.
+- **Expansion walks live 128-parent chunks** (`lax.fori_loop` with a
+  data-dependent trip count): one [144, 16] @ [16, 128] MXU matmul
+  composes all 9 children of a chunk (the reference does a 4x4 SSE
+  multiply per visited node, `SIMD_AVX.h:59-81`), children are culled
+  lane-major, and survivors are stream-compacted by a **one-hot select
+  matmul** — a [cap, 1152] 0/1 matrix applied on the MXU, which is
+  exact (each output lane receives exactly one f32 addend) and replaces
+  the O(W log W) vector-roll compaction of v2.
+- **Per-level candidate queue in SMEM.** Every level's live frontier is
+  appended to a per-level queue segment in VMEM, DMA'd once to SMEM;
+  the per-ray phase is then a scalar-driven loop over *exactly* the
+  live candidates (no 128-padding): each node broadcasts its 7 scalars
+  against the whole ray vreg in ~16 VPU ops.
 - **Path codes are the only hit payload.** The winner's base-9 tree
   path (sentinel-prefixed: root=1, child: code*9+j, so the level is
   floor(log9 code)) is emitted per ray. `resolve_codes` re-derives the
@@ -67,7 +69,9 @@ _ROWS = 16
 _QX, _QY, _QZ, _QCC, _QR2, _QLODR, _QCODE, _QSPARE = range(8)
 _QROWS = 8
 
-_LANES = 128  # VPU lane width; queue chunk size for per-ray tests.
+_LANES = 128  # parent-chunk width; child width per chunk = 9 * 128
+_CHILD_W = 9 * _LANES
+TILE_RAYS = 1024  # rays per tile = one [8, 128] vreg
 
 PALLAS_MAX_DEPTH = 7  # f32 path-code exactness bound (2*9^7 < 2^24)
 
@@ -77,7 +81,12 @@ def _ru128(n: int) -> int:
 
 
 def level_caps(cfg: RenderConfig) -> list[int]:
-    """Static frontier capacity per level, each a multiple of 128."""
+    """Static frontier capacity per level, each a multiple of 128.
+
+    Capacity is cheap: expansion and compaction walk live 128-node
+    chunks with data-dependent trip counts, so a generous cap costs
+    VMEM/SMEM only, not time. Overflow (survivors beyond the cap) is
+    counted and surfaced in the metrics."""
     cap = max(128, (cfg.max_frontier // 128) * 128)
     return [
         min(_ru128(9**level), cap) for level in range(cfg.max_depth + 1)
@@ -85,9 +94,10 @@ def level_caps(cfg: RenderConfig) -> list[int]:
 
 
 def _expansion_matrices(templates: Array, scales: Array) -> Array:
-    """[D, 9, 16, 16] per-(level, child) frontier-panel update matrices.
+    """[D, 144, 16] per-level stacked compose matrices.
 
-    child_panel = M[level, j] @ parent_panel implements
+    Child j of a frontier-panel column p is rows [16j, 16j+16) of
+    M[level] @ panel[:, p]; the [16, 16] block for child j implements
     `worldTransform = parentTransform * childTransform`
     (`Sphereflake.h:165-169`) on the row-SoA panel, plus path-code
     propagation (code' = 9*code + j). templates: [9, 3, 4] unit child
@@ -119,7 +129,7 @@ def _expansion_matrices(templates: Array, scales: Array) -> Array:
     m = m.at[:, :, _CODE, _ONE].set(jnp.broadcast_to(j_idx, (D, 9)))
     m = m.at[:, :, _VALID, _VALID].set(1.0)
     m = m.at[:, :, _ONE, _ONE].set(1.0)
-    return m
+    return m.reshape(D, 9 * _ROWS, _ROWS)
 
 
 def _initial_panel(root: Array, cap: int) -> Array:
@@ -136,12 +146,6 @@ def _initial_panel(root: Array, cap: int) -> Array:
     return panel
 
 
-def _roll_left(x, sh: int):
-    """np.roll(x, -sh) along the last (lane) axis."""
-    n = x.shape[-1]
-    return pltpu.roll(x, (n - sh) % n, axis=x.ndim - 1)
-
-
 def _cumsum_lanes(x, n: int):
     """Inclusive cumsum along lanes of [1, n] int32 via log-shift adds."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
@@ -153,126 +157,117 @@ def _cumsum_lanes(x, n: int):
     return x
 
 
-def _num_steps(n: int) -> int:
-    steps = 0
-    while (1 << steps) < n:
-        steps += 1
-    return steps
+_DEBUG_PHASES = frozenset({"expand", "dma", "ray"})  # timing diagnostics only
 
 
-def _compact_rows(data, keep, width: int, nrows: int):
-    """Log-shift stream compaction: pack lanes where keep is true to the
-    left of `data` [nrows, width]. Returns (packed, total kept [])."""
-    keep_i = keep.astype(jnp.int32)
-    pos = _cumsum_lanes(keep_i, width)  # inclusive
-    total = pos[0, width - 1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
-    mv = jnp.where(keep, lane - (pos - 1), 0)
-    for k in range(_num_steps(width)):
-        sh = 1 << k
-        mv_s = _roll_left(mv, sh)
-        take = ((mv_s >> k) & 1) != 0
-        data = jnp.where(take, _roll_left(data, sh), data)
-        mv = jnp.where(take, mv_s - sh, mv)
-    return data, total
-
-
-def make_trace_kernel(cfg: RenderConfig, rays: int):
-    """Build the pallas kernel body for a tile of `rays` rays."""
+def make_trace_kernel(cfg: RenderConfig):
+    """Build the pallas kernel body for one 1024-ray tile per step."""
+    phases = _DEBUG_PHASES
     depth = cfg.max_depth
     caps = level_caps(cfg)
+    capmax = max(caps)
     offs = [0]
     for c in caps:
         offs.append(offs[-1] + c)
     qtot = offs[-1]
-    n_chunks = qtot // _LANES
 
     def kernel(
         levels_ref,  # SMEM [4, depth+1]: radius, r^2, 4r^2, lod^2*r
         planes_ref,  # SMEM [1, 1, 12]: 4 inward unit frustum normals
-        dirs_ref,  # VMEM [1, rays, 3]
+        dirs_ref,  # VMEM [1, 3, 8, 128]
         panel0_ref,  # VMEM [16, caps[0]] initial frontier
-        expand_ref,  # VMEM [depth, 9, 16, 16] (dummy when depth == 0)
-        out_ref,  # VMEM [1, rays, 8]: t, code, -, ...
-        mout_ref,  # SMEM [1, 1, 8]: qlen, overflow, max_depth, live, ...
-        panel,  # VMEM scratch [16, max(caps)]
-        children,  # VMEM scratch [16, 9*max(caps)]
-        queue,  # VMEM scratch [8, qtot]
-        best,  # VMEM scratch [rays, 2]
-        live_ref,  # SMEM scratch [4]
+        expand_ref,  # VMEM [depth, 144, 16] (dummy when depth == 0)
+        out_ref,  # VMEM [1, 2, 8, 128]: t, code
+        mout_ref,  # SMEM [1, 1, 8]: qlen, overflow, max_depth, ...
+        panel_a,  # VMEM scratch [16, capmax]
+        panel_b,  # VMEM scratch [16, capmax]
+        childstk,  # VMEM scratch [144, 128] stacked compose output
+        children,  # VMEM scratch [16, 9*128] lane-major children
+        sel,  # VMEM scratch [128, 9*128] one-hot select (transposed)
+        queue_v,  # VMEM scratch [8, qtot]
+        queue_s,  # SMEM scratch [8, qtot]
+        livec_ref,  # SMEM scratch [depth+2] per-level live counts + misc
+        sem,  # DMA semaphore
     ):
-        dx = dirs_ref[0, :, 0:1]  # [rays, 1]
-        dy = dirs_ref[0, :, 1:2]
-        dz = dirs_ref[0, :, 2:3]
+        dx = dirs_ref[0, 0]  # [8, 128]
+        dy = dirs_ref[0, 1]
+        dz = dirs_ref[0, 2]
 
-        panel[:, : caps[0]] = panel0_ref[:]
-        best[:, 0:1] = jnp.full((rays, 1), _BIG, jnp.float32)
-        best[:, 1:2] = jnp.zeros((rays, 1), jnp.float32)
-        live_ref[0] = jnp.int32(1)
-        live_ref[1] = jnp.int32(0)  # overflow
-        live_ref[2] = jnp.int32(0)  # max depth reached
+        panel_a[:, : caps[0]] = panel0_ref[:]
+        panels = (panel_a, panel_b)
+        live = jnp.int32(1)
+        overflow = jnp.int32(0)
+        max_level = jnp.int32(0)
+        qlen_total = jnp.int32(0)
 
-        # ---- phase 1: expansion + queue append (node-lane work) ----
+        # ---- phase 1: levelwise expansion + queue append (node work) ----
         for level in range(depth + 1):
             cap = caps[level]
             off = offs[level]
-            live = live_ref[0]
+            cur = panels[level % 2]
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, cap), 1)
 
-            @pl.when(live > 0)
-            def _():
-                live_ref[2] = jnp.int32(level)
+            max_level = jnp.where(live > 0, jnp.int32(level), max_level)
+            livec_ref[level] = live
+            qlen_total = qlen_total + live
 
-            # Append this level's live nodes to the queue segment
-            # (invalid lanes carry r2 = -1 so every ray test fails).
-            cx = panel[_TX:_TX + 1, :cap]
-            cy = panel[_TY:_TY + 1, :cap]
-            cz = panel[_TZ:_TZ + 1, :cap]
+            # Append this level's live nodes to its queue segment
+            # (dead lanes carry r2 = -1 so no ray test can pass).
+            cx = cur[_TX:_TX + 1, :cap]
+            cy = cur[_TY:_TY + 1, :cap]
+            cz = cur[_TZ:_TZ + 1, :cap]
             okv = lane < live
-            queue[_QX:_QX + 1, off:off + cap] = cx
-            queue[_QY:_QY + 1, off:off + cap] = cy
-            queue[_QZ:_QZ + 1, off:off + cap] = cz
-            queue[_QCC:_QCC + 1, off:off + cap] = cx * cx + cy * cy + cz * cz
-            queue[_QR2:_QR2 + 1, off:off + cap] = jnp.where(
+            queue_v[_QX:_QX + 1, off:off + cap] = cx
+            queue_v[_QY:_QY + 1, off:off + cap] = cy
+            queue_v[_QZ:_QZ + 1, off:off + cap] = cz
+            queue_v[_QCC:_QCC + 1, off:off + cap] = (
+                cx * cx + cy * cy + cz * cz
+            )
+            queue_v[_QR2:_QR2 + 1, off:off + cap] = jnp.where(
                 okv, levels_ref[1, level], -1.0
             )
-            queue[_QLODR:_QLODR + 1, off:off + cap] = jnp.full(
+            queue_v[_QLODR:_QLODR + 1, off:off + cap] = jnp.full(
                 (1, cap), 1.0, jnp.float32
             ) * levels_ref[3, level]
-            queue[_QCODE:_QCODE + 1, off:off + cap] = panel[
+            queue_v[_QCODE:_QCODE + 1, off:off + cap] = cur[
                 _CODE:_CODE + 1, :cap
             ]
-            queue[_QSPARE:_QSPARE + 1, off:off + cap] = jnp.zeros(
+            queue_v[_QSPARE:_QSPARE + 1, off:off + cap] = jnp.zeros(
                 (1, cap), jnp.float32
             )
 
             if level == depth:
                 break
 
-            # Expansion: compose children, frustum-cull, compact.
+            # ---- expansion: compose + frustum-cull + one-hot compact ----
             cap_n = caps[level + 1]
-            width = 9 * cap
+            nxt = panels[(level + 1) % 2]
+            nxt[:, :cap_n] = jnp.zeros((_ROWS, cap_n), jnp.float32)
+            r_c = levels_ref[0, level + 1]
+            lod_rc = levels_ref[3, level + 1]
+            n_chunks = (live + _LANES - 1) // _LANES
 
-            @pl.when(live > 0)
-            def _():
+            def chunk_body(c, total, level=level, cap_n=cap_n, nxt=nxt,
+                           cur=cur, r_c=r_c, lod_rc=lod_rc):
+                base = pl.multiple_of(c * _LANES, _LANES)
+                # All 9 children of the 128-parent chunk in one matmul.
+                childstk[:, :] = jax.lax.dot(
+                    expand_ref[level],
+                    cur[:, pl.ds(base, _LANES)],
+                    precision=jax.lax.Precision.HIGHEST,
+                )
                 for j in range(9):
-                    children[:, j * cap:(j + 1) * cap] = jax.lax.dot(
-                        expand_ref[level, j],
-                        panel[:, :cap],
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
-
-                r_c = levels_ref[0, level + 1]
-                lod_rc = levels_ref[3, level + 1]
-                ccx = children[_TX:_TX + 1, :width]  # [1, width]
-                ccy = children[_TY:_TY + 1, :width]
-                ccz = children[_TZ:_TZ + 1, :width]
+                    children[:, j * _LANES:(j + 1) * _LANES] = childstk[
+                        j * _ROWS:(j + 1) * _ROWS, :
+                    ]
+                ccx = children[_TX:_TX + 1, :]  # [1, 1152]
+                ccy = children[_TY:_TY + 1, :]
+                ccz = children[_TZ:_TZ + 1, :]
                 cc = ccx * ccx + ccy * ccy + ccz * ccz
                 dist = jnp.sqrt(jnp.maximum(cc, 1e-20))
                 # Conservative LOD: closest possible bounding-sphere hit
                 # (dist - 2r) still below the cut (`Sphereflake.h:146`).
                 keep = (dist - 2.0 * r_c) < lod_rc
-                # Frustum: inward planes dilated by the bounding radius.
                 neg2r = -2.0 * r_c
                 for p in range(4):
                     d_p = (
@@ -281,97 +276,112 @@ def make_trace_kernel(cfg: RenderConfig, rays: int):
                         + planes_ref[0, 0, 3 * p + 2] * ccz
                     )
                     keep = keep & (d_p >= neg2r)
-                keep = keep & (children[_VALID:_VALID + 1, :width] > 0.0)
+                keep = keep & (children[_VALID:_VALID + 1, :] > 0.0)
 
-                # The last expansion's output is only ever self-tested,
-                # so only translation + code rows need compacting.
-                row_lo = _TX if level + 1 == depth else 0
-                packed, total = _compact_rows(
-                    children[row_lo:_CODE + 1, :width],
-                    keep,
-                    width,
-                    _CODE + 1 - row_lo,
+                # One-hot select: survivor w goes to output column
+                # total + rank(w). Built transposed ([128, 1152]) so
+                # the lane-major cumsum broadcasts along sublanes, and
+                # chunked over 128-wide output windows so compaction
+                # cost tracks the live count, not the static cap.
+                pos = _cumsum_lanes(keep.astype(jnp.int32), _CHILD_W)
+                gdst = pos - 1 + total  # [1, 1152] dest column per lane
+                count = pos[0, _CHILD_W - 1]
+                col = jax.lax.broadcasted_iota(
+                    jnp.int32, (_LANES, _CHILD_W), 0
                 )
-                new_live = jnp.minimum(total, cap_n)
-                lane_n = jax.lax.broadcasted_iota(jnp.int32, (1, cap_n), 1)
-                panel[row_lo:_CODE + 1, :cap_n] = packed[:, :cap_n]
-                panel[_VALID:_VALID + 1, :cap_n] = jnp.where(
-                    lane_n < new_live, 1.0, 0.0
+                k0 = total // _LANES
+                k1 = jnp.minimum(
+                    (total + count + _LANES - 1) // _LANES,
+                    jnp.int32(cap_n // _LANES),
                 )
-                panel[_ONE:_ONE + 1, :cap_n] = jnp.ones((1, cap_n), jnp.float32)
-                live_ref[0] = new_live
-                live_ref[1] += jnp.maximum(total - cap_n, 0)
 
-        # ---- phase 1.5: compact the queue once ----
-        keepq = queue[_QR2:_QR2 + 1, :] > 0.0
-        packedq, qlen = _compact_rows(queue[:, :], keepq, qtot, _QROWS)
-        lane_q = jax.lax.broadcasted_iota(jnp.int32, (1, qtot), 1)
-        queue[:, :] = packedq
-        queue[_QR2:_QR2 + 1, :] = jnp.where(
-            lane_q < qlen, packedq[_QR2:_QR2 + 1, :], -1.0
-        )
-        live_ref[3] = qlen
+                def out_chunk(k, _):
+                    obase = pl.multiple_of(k * _LANES, _LANES)
+                    sel[:, :] = jnp.where(
+                        keep & (gdst - obase == col), 1.0, 0.0
+                    )
+                    # packed += children @ sel^T — contraction over the
+                    # 1152 child lanes; 0/1 weights make this exact on
+                    # the MXU (one f32 addend per output lane).
+                    nxt[:, pl.ds(obase, _LANES)] += jax.lax.dot_general(
+                        children[:, :],
+                        sel[:, :],
+                        (((1,), (1,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    return 0
 
-        # ---- phase 2: per-ray tests, one 128-lane chunk at a time ----
-        lane_r = jax.lax.broadcasted_iota(jnp.int32, (rays, _LANES), 1)
-        for c in range(n_chunks):
-            lo = c * _LANES
+                jax.lax.fori_loop(k0, k1, out_chunk, 0, unroll=False)
+                return total + count
 
-            @pl.when(qlen > lo)
-            def _():
-                cx = queue[_QX:_QX + 1, lo:lo + _LANES]  # [1, 128]
-                cy = queue[_QY:_QY + 1, lo:lo + _LANES]
-                cz = queue[_QZ:_QZ + 1, lo:lo + _LANES]
-                cc = queue[_QCC:_QCC + 1, lo:lo + _LANES]
-                r2 = queue[_QR2:_QR2 + 1, lo:lo + _LANES]
-                lodr = queue[_QLODR:_QLODR + 1, lo:lo + _LANES]
-                tca = dx * cx + dy * cy + dz * cz  # [rays, 128]
+            total = jax.lax.fori_loop(
+                0, n_chunks if "expand" in phases else 0,
+                chunk_body, jnp.int32(0), unroll=False,
+            )
+            live = jnp.minimum(total, cap_n)
+            overflow = overflow + jnp.maximum(total - cap_n, 0)
+            lane_n = jax.lax.broadcasted_iota(jnp.int32, (1, cap_n), 1)
+            nxt[_VALID:_VALID + 1, :cap_n] = jnp.where(
+                lane_n < live, 1.0, 0.0
+            )
+            nxt[_ONE:_ONE + 1, :cap_n] = jnp.ones((1, cap_n), jnp.float32)
+
+        # ---- phase 1.5: queue to SMEM for scalar-driven ray tests ----
+        if "dma" in phases:
+            pltpu.make_async_copy(queue_v, queue_s, sem).start()
+
+        mout_ref[0, 0, 0] = qlen_total
+        mout_ref[0, 0, 1] = overflow
+        mout_ref[0, 0, 2] = max_level
+        mout_ref[0, 0, 3] = live
+        for k in range(4, 8):
+            mout_ref[0, 0, k] = jnp.int32(0)
+
+        if "dma" in phases:
+            pltpu.make_async_copy(queue_v, queue_s, sem).wait()
+
+        # ---- phase 2: per-ray tests over exactly the live candidates ----
+        bt = jnp.full((8, _LANES), _BIG, jnp.float32)
+        bc = jnp.zeros((8, _LANES), jnp.float32)
+
+        for level in range(depth + 1):
+            off = offs[level]
+
+            def node_body(q, carry, off=off):
+                bt, bc = carry
+                cx = queue_s[_QX, off + q]
+                cy = queue_s[_QY, off + q]
+                cz = queue_s[_QZ, off + q]
+                cc = queue_s[_QCC, off + q]
+                r2 = queue_s[_QR2, off + q]
+                lodr = queue_s[_QLODR, off + q]
+                code = queue_s[_QCODE, off + q]
+                # `SIMD_AVX.h:236-270` with origin folded into centers.
+                tca = dx * cx + dy * cy + dz * cz  # [8, 128]
                 d2 = cc - tca * tca
                 tb = tca - jnp.sqrt(jnp.maximum(4.0 * r2 - d2, 0.0))
-                ok = (
-                    (tca >= 0.0)
-                    & (tb < lodr)
-                    & (d2 <= r2)
-                )
+                ok = (tca >= 0.0) & (tb < lodr) & (d2 <= r2)
                 ts = tca - jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
-                ts = jnp.where(ok, ts, _BIG)
-                t_chunk = jnp.min(ts, axis=1, keepdims=True)  # [rays, 1]
-                upd = t_chunk < best[:, 0:1]
+                better = ok & (ts < bt)
+                return (
+                    jnp.where(better, ts, bt),
+                    jnp.where(better, code, bc),
+                )
 
-                @pl.when(jnp.any(upd))
-                def _():
-                    idx = jnp.min(
-                        jnp.where(ts <= t_chunk, lane_r, qtot),
-                        axis=1,
-                        keepdims=True,
-                    )
-                    oh = (lane_r == idx).astype(jnp.float32)
-                    code_pick = jnp.sum(
-                        oh * queue[_QCODE:_QCODE + 1, lo:lo + _LANES],
-                        axis=1,
-                        keepdims=True,
-                    )
-                    best[:, 0:1] = jnp.where(upd, t_chunk, best[:, 0:1])
-                    best[:, 1:2] = jnp.where(upd, code_pick, best[:, 1:2])
+            bt, bc = jax.lax.fori_loop(
+                0, livec_ref[level] if "ray" in phases else 0,
+                node_body, (bt, bc), unroll=False,
+            )
 
-        out_ref[0, :, 0:1] = best[:, 0:1]
-        out_ref[0, :, 1:2] = best[:, 1:2]
-        out_ref[0, :, 2:8] = jnp.zeros((rays, 6), jnp.float32)
-        mout_ref[0, 0, 0] = live_ref[3]  # nodes ray-tested (queue length)
-        mout_ref[0, 0, 1] = live_ref[1]  # overflow
-        mout_ref[0, 0, 2] = live_ref[2]  # deepest level with live nodes
-        mout_ref[0, 0, 3] = live_ref[0]  # final live count
-        mout_ref[0, 0, 4] = jnp.int32(0)
-        mout_ref[0, 0, 5] = jnp.int32(0)
-        mout_ref[0, 0, 6] = jnp.int32(0)
-        mout_ref[0, 0, 7] = jnp.int32(0)
+        out_ref[0, 0] = bt
+        out_ref[0, 1] = bc
 
-    return kernel
+    return kernel, qtot, capmax
 
 
 @partial(jax.jit, static_argnames=("cfg", "interpret"))
 def trace_tiles_pallas(
-    tile_dirs: Array,  # [T, R, 3] unit ray dirs per tile
+    tile_dirs: Array,  # [T, 1024, 3] unit ray dirs per tile
     tile_planes: Array,  # [T, 4, 3] inward unit frustum plane normals
     root: Array,  # [3, 4]
     templates: Array,  # [9, 3, 4]
@@ -381,8 +391,8 @@ def trace_tiles_pallas(
 ):
     """Trace all tiles with the fused kernel.
 
-    Returns (out [T, R, 8], metrics [T, 1, 8] int32). out columns:
-    t (_BIG at miss), sentinel-prefixed base-9 path code (0 at miss).
+    Returns (min_t [T, 1024], code [T, 1024], metrics [T, 1, 8] int32).
+    code is the sentinel-prefixed base-9 path code (0 at miss).
     Non-differentiable by construction (inputs are stop-gradiented);
     gradients flow through `resolve_codes` instead.
     """
@@ -390,15 +400,17 @@ def trace_tiles_pallas(
         f"pallas path supports max_depth <= {PALLAS_MAX_DEPTH} "
         "(f32 path-code exactness); use an XLA algorithm for deeper"
     )
+    T, rays, _ = tile_dirs.shape
+    assert rays == TILE_RAYS, (
+        f"pallas path requires {TILE_RAYS}-ray tiles (one [8,128] vreg "
+        f"per tile), got {rays}; pick tile_h*tile_w == {TILE_RAYS}"
+    )
     sg = jax.lax.stop_gradient
     tile_dirs, tile_planes, root, templates, fractal = sg(
         (tile_dirs, tile_planes, root, templates, fractal)
     )
-    T, rays, _ = tile_dirs.shape
     depth = cfg.max_depth
     caps = level_caps(cfg)
-    capmax = max(caps)
-    qtot = sum(caps)
 
     levels = jnp.arange(depth + 1, dtype=jnp.float32)
     radii = fractal.root_radius * fractal.radius_ratio ** levels
@@ -413,12 +425,14 @@ def trace_tiles_pallas(
     expand = (
         _expansion_matrices(templates, scales)
         if depth > 0
-        else jnp.zeros((1, 9, _ROWS, _ROWS), jnp.float32)
+        else jnp.zeros((1, 9 * _ROWS, _ROWS), jnp.float32)
     )
     panel0 = _initial_panel(root, caps[0])
     planes_flat = tile_planes.reshape(T, 1, 12)
+    # Lane-major ray layout: [T, 3, 8, 128] — zero DMA padding waste.
+    dirs_t = jnp.moveaxis(tile_dirs, 2, 1).reshape(T, 3, 8, _LANES)
 
-    kernel = make_trace_kernel(cfg, rays)
+    kernel, qtot, capmax = make_trace_kernel(cfg)
     n_expand = max(depth, 1)
 
     out, metrics = pl.pallas_call(
@@ -432,39 +446,49 @@ def trace_tiles_pallas(
                 (1, 1, 12), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
             ),
             pl.BlockSpec(
-                (1, rays, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, 3, 8, _LANES),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (_ROWS, caps[0]), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (n_expand, 9, _ROWS, _ROWS),
-                lambda i: (0, 0, 0, 0),
+                (n_expand, 9 * _ROWS, _ROWS),
+                lambda i: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=(
             pl.BlockSpec(
-                (1, rays, 8), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, 2, 8, _LANES),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, 1, 8), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((T, rays, 8), jnp.float32),
+            jax.ShapeDtypeStruct((T, 2, 8, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((T, 1, 8), jnp.int32),
         ),
         scratch_shapes=[
             pltpu.VMEM((_ROWS, capmax), jnp.float32),
-            pltpu.VMEM((_ROWS, 9 * capmax), jnp.float32),
+            pltpu.VMEM((_ROWS, capmax), jnp.float32),
+            pltpu.VMEM((9 * _ROWS, _LANES), jnp.float32),
+            pltpu.VMEM((_ROWS, _CHILD_W), jnp.float32),
+            pltpu.VMEM((_LANES, _CHILD_W), jnp.float32),
             pltpu.VMEM((_QROWS, qtot), jnp.float32),
-            pltpu.VMEM((rays, 2), jnp.float32),
-            pltpu.SMEM((4,), jnp.int32),
+            pltpu.SMEM((_QROWS, qtot), jnp.float32),
+            pltpu.SMEM((depth + 2,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(level_tab, planes_flat, tile_dirs, panel0, expand)
-    return out, metrics
+    )(level_tab, planes_flat, dirs_t, panel0, expand)
+    min_t = out[:, 0].reshape(T, TILE_RAYS)
+    code = out[:, 1].reshape(T, TILE_RAYS)
+    return min_t, code, metrics
 
 
 def resolve_codes(

@@ -21,9 +21,12 @@ polynomial with encoded coefficient `a` and initial odd values m_1..m_s:
     v_k = m_k << (32-k)                       for k <= s
     v_k = v_{k-s} ^ (v_{k-s} >> s) ^ XOR_{i=1}^{s-1} a_i * v_{k-i}   else
 
-Parameters below are the first rows of Joe & Kuo's new-joe-kuo-6.21201
-table; dims 0-1 are cross-checked bit-exactly against the reference's
-vendored table by the test suite.
+The full 1023-dimension parameter set (matching the reference's 1024
+dims, `Sobol.cpp:35`) lives in `_joekuo.py` — published Joe-Kuo
+mathematical constants in compact (s, a, m) form, verified bit-exact
+against the expanded table by `tools/extract_joekuo.py`. Dims 0-1 are
+additionally cross-checked against the reference semantics by the test
+suite.
 """
 
 from __future__ import annotations
@@ -33,29 +36,11 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
+from sphereflake_tpu.ops._joekuo import JOE_KUO_PARAMS as _JOE_KUO
+
 N_BITS = 52  # index bits supported, like the reference table (Sobol.cpp:37)
 
-# (s, a, [m_1..m_s]) per dimension starting at dimension index 1
-# (dimension 0 is van der Corput). From the Joe-Kuo table's first rows.
-_JOE_KUO = [
-    (1, 0, [1]),
-    (2, 1, [1, 3]),
-    (3, 1, [1, 3, 1]),
-    (3, 2, [1, 1, 1]),
-    (4, 1, [1, 1, 3, 3]),
-    (4, 4, [1, 3, 5, 13]),
-    (5, 2, [1, 1, 5, 5, 17]),
-    (5, 4, [1, 1, 5, 5, 5]),
-    (5, 7, [1, 1, 7, 11, 19]),
-    (5, 11, [1, 1, 5, 1, 1]),
-    (5, 13, [1, 1, 1, 3, 11]),
-    (5, 14, [1, 3, 5, 5, 31]),
-    (6, 1, [1, 3, 3, 9, 7, 49]),
-    (6, 13, [1, 1, 1, 15, 21, 21]),
-    (6, 16, [1, 3, 1, 13, 27, 49]),
-]
-
-NUM_DIMENSIONS = len(_JOE_KUO) + 1
+NUM_DIMENSIONS = len(_JOE_KUO) + 1  # 1024, matching Sobol.cpp:35
 
 
 @functools.lru_cache(maxsize=1)

@@ -59,8 +59,10 @@ class GBuffer:
 
 
 def _tile(img: Array, cfg: RenderConfig) -> Array:
-    """[H, W, ...] -> [T, R, ...] row-major over (tile_y, tile_x)."""
-    h, w = cfg.height, cfg.width
+    """[pH, pW, ...] -> [T, R, ...] row-major over (tile_y, tile_x).
+
+    Operates on the padded image (pallas pads to a tile multiple; for
+    the XLA paths padded == original)."""
     rest = img.shape[2:]
     x = img.reshape(cfg.tiles_y, cfg.tile_h, cfg.tiles_x, cfg.tile_w, *rest)
     x = jnp.moveaxis(x, 2, 1)
@@ -68,11 +70,12 @@ def _tile(img: Array, cfg: RenderConfig) -> Array:
 
 
 def _untile(tiles: Array, cfg: RenderConfig) -> Array:
-    """[T, R, ...] -> [H, W, ...] inverse of `_tile`."""
+    """[T, R, ...] -> [H, W, ...] inverse of `_tile` (crops padding)."""
     rest = tiles.shape[2:]
     x = tiles.reshape(cfg.tiles_y, cfg.tiles_x, cfg.tile_h, cfg.tile_w, *rest)
     x = jnp.moveaxis(x, 2, 1)
-    return x.reshape(cfg.height, cfg.width, *rest)
+    x = x.reshape(cfg.padded_height, cfg.padded_width, *rest)
+    return x[: cfg.height, : cfg.width]
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -111,12 +114,12 @@ def trace_tiles(
         )
 
         interpret = jax.default_backend() != "tpu"
-        out, m = trace_tiles_pallas(
+        _, code, m = trace_tiles_pallas(
             tiles, tile_planes, root, templates, scene.fractal, cfg,
             interpret=interpret,
         )
         min_t, center, hit = resolve_codes(
-            tiles, out[:, :, 1], root, templates, scene.fractal, cfg
+            tiles, code, root, templates, scene.fractal, cfg
         )
         return TraceResult(
             min_t=min_t,
@@ -156,28 +159,34 @@ def render_gbuffer(scene: SceneParams, cfg: RenderConfig) -> GBuffer:
     """Render the full-frame G-buffer for `scene` (pure, differentiable)."""
     from sphereflake_tpu.camera import tile_frustum_planes
 
-    xs, ys = pixel_grid(cfg.width, cfg.height)
+    # Ray math uses the ORIGINAL width/height for the NDC mapping; the
+    # grid extends to the padded dims (extra rows/cols extrapolate the
+    # corner interpolation and are cropped by `_untile`).
+    xs, ys = pixel_grid(cfg.padded_width, cfg.padded_height)
     dirs = ray_directions(scene.camera, xs, ys, cfg.width, cfg.height)
 
     tiles = _tile(dirs, cfg)  # [T, R, 3]
     planes = tile_frustum_planes(
-        scene.camera, cfg.width, cfg.height, cfg.tile_h, cfg.tile_w
+        scene.camera, cfg.width, cfg.height, cfg.tile_h, cfg.tile_w,
+        block_h=cfg.padded_height, block_w=cfg.padded_width,
     )
 
     res = trace_tiles(tiles, planes, scene, cfg)
     position_t, normal_t = shade_gbuffer(tiles, res)
 
+    min_t = _untile(res.min_t, cfg)
+    hit = _untile(res.hit, cfg)
     metrics = RenderMetrics(
         max_depth_reached=res.max_depth_reached,
         nodes_visited=res.nodes_visited,
         overflow=res.overflow,
-        closest_distance=jnp.min(jnp.where(res.hit, res.min_t, _BIG)),
+        closest_distance=jnp.min(jnp.where(hit, min_t, _BIG)),
         rays_traced=jnp.int32(cfg.width * cfg.height),
     )
     return GBuffer(
         position=_untile(position_t, cfg),
         normal=_untile(normal_t, cfg),
-        min_t=_untile(res.min_t, cfg),
-        hit=_untile(res.hit, cfg),
+        min_t=min_t,
+        hit=hit,
         metrics=metrics,
     )

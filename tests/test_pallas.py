@@ -26,7 +26,7 @@ def _cfg(**kw):
         width=64,
         height=32,
         max_depth=2,
-        tile_h=16,
+        tile_h=32,
         tile_w=32,
         max_frontier=128,
         tile_batch=4,

@@ -1,0 +1,143 @@
+"""Recover the compact Joe-Kuo (2008) parameters from the reference's
+expanded Sobol direction-number table.
+
+The reference vendors Gruenschloss' pre-expanded 1024x52 direction
+numbers (`/root/reference/sphereflake/Sobol.cpp`), which are generated
+from the published new-joe-kuo-6.21201 parameter table (primitive
+polynomial degree s, encoded coefficients a, initial odd values
+m_1..m_s per dimension). We store the COMPACT parameters (a few KB
+of published mathematical constants) and re-construct direction numbers
+at import time, instead of vendoring the 53k-line expansion.
+
+This tool inverts the expansion: m_k are read off the first s direction
+numbers (v_k = m_k << (32-k)); the polynomial coefficient bits a_i are
+solved from the recurrence
+
+    v_k = v_{k-s} ^ (v_{k-s} >> s) ^ XOR_{i=1..s-1} a_i * v_{k-i}
+
+one bit at a time, then the full table is re-generated and verified
+bit-exact against the source before the parameter file is written.
+
+Output: sphereflake_tpu/ops/_joekuo.py (s, a, m triples for dims
+1..1023; dim 0 is van der Corput).
+"""
+from __future__ import annotations
+
+import re
+import sys
+
+import numpy as np
+
+SRC = "/root/reference/sphereflake/Sobol.cpp"
+OUT = "/root/repo/sphereflake_tpu/ops/_joekuo.py"
+NDIM, NBITS = 1024, 52
+
+
+def parse_table() -> np.ndarray:
+    text = open(SRC).read()
+    body = text[text.index("matrices[Matrices::num_dimensions") :]
+    vals = re.findall(r"0x([0-9a-fA-F]+)U", body)
+    arr = np.array([int(v, 16) for v in vals], dtype=np.uint64)
+    assert arr.size == NDIM * NBITS, arr.size
+    return arr.reshape(NDIM, NBITS)
+
+
+def infer_degree(v: np.ndarray) -> int:
+    """m_k is odd and < 2^k; v_k = m_k << (32-k). The recurrence rows
+    stop following that pattern... instead, find s as the smallest s
+    whose recurrence (for some `a`) reproduces rows s..NBITS-1."""
+    # The initial rows satisfy v_k % (1 << (32 - k)) == 0 (m_k shifted);
+    # recurrence rows generally don't. First non-pure-shift row bounds s.
+    s_max = 1
+    for k in range(min(32, NBITS)):
+        if v[k] % (np.uint64(1) << np.uint64(32 - k - 1) if k < 31 else 1):
+            pass
+        if k < 31 and (v[k] & ((np.uint64(1) << np.uint64(31 - k)) - np.uint64(1))):
+            break
+        s_max = k + 1
+    return s_max  # upper bound; exact s found while solving
+
+
+def solve_dim(v: np.ndarray):
+    """Return (s, a, m list) reproducing direction numbers v, or None."""
+    for s in range(1, 32):
+        # candidate m from the first s rows
+        if any(v[k] & ((np.uint64(1) << np.uint64(31 - k)) - np.uint64(1))
+               for k in range(min(s, 31))):
+            return None  # shouldn't happen before the true s
+        m = [int(v[k] >> np.uint64(31 - k)) for k in range(s)]
+        if any(mm % 2 == 0 or mm >= (1 << (k + 1)) for k, mm in enumerate(m)):
+            continue
+        # solve coefficient bits a_1..a_{s-1} from row k = s
+        k = s
+        target = v[k]
+        base = v[k - s] ^ (v[k - s] >> np.uint64(s))
+        a = 0
+        rem = base ^ target
+        # Greedy bit solve: coefficients multiply distinct v rows; since
+        # v_{k-i} has leading bit 2^(31-(k-i)), solve from high bits.
+        for i in range(1, s):
+            lead = np.uint64(1) << np.uint64(31 - (k - i))
+            if rem & lead:
+                a |= 1 << (s - 1 - i)
+                rem ^= v[k - i]
+        if rem != 0:
+            continue
+        # verify the whole dimension
+        vv = np.zeros(NBITS, dtype=np.uint64)
+        for k in range(NBITS):
+            if k < s:
+                vv[k] = np.uint64(m[k]) << np.uint64(31 - k)
+            else:
+                val = vv[k - s] ^ (vv[k - s] >> np.uint64(s))
+                for i in range(1, s):
+                    if (a >> (s - 1 - i)) & 1:
+                        val ^= vv[k - i]
+                vv[k] = val
+        if np.array_equal(vv, v):
+            return s, a, m
+    return None
+
+
+def main():
+    table = parse_table()
+    params = []
+    # dim 0 must be van der Corput
+    vdc = np.zeros(NBITS, dtype=np.uint64)
+    for k in range(min(32, NBITS)):
+        vdc[k] = np.uint64(1) << np.uint64(31 - k)
+    assert np.array_equal(table[0], vdc), "dim 0 is not van der Corput"
+    for d in range(1, NDIM):
+        res = solve_dim(table[d])
+        if res is None:
+            print(f"FAILED to solve dim {d}", file=sys.stderr)
+            return 1
+        params.append(res)
+    smax = max(p[0] for p in params)
+    print(f"solved {len(params)} dims, max degree {smax}")
+
+    with open(OUT, "w") as f:
+        f.write(
+            '"""Joe-Kuo (2008) Sobol parameters for dimensions 1..1023.\n'
+            "\n"
+            "Published mathematical constants from S. Joe & F. Y. Kuo,\n"
+            '"Constructing Sobol sequences with better two-dimensional\n'
+            'projections", SIAM J. Sci. Comput. 30, 2635-2654 (2008) —\n'
+            "the new-joe-kuo-6.21201 parameter table (degree s, encoded\n"
+            "primitive-polynomial coefficients a, initial values m_i),\n"
+            "recovered from the expanded direction numbers the reference\n"
+            "vendors (`Sobol.cpp:57`) and verified bit-exact by\n"
+            "tools/extract_joekuo.py. Dimension 0 is van der Corput.\n"
+            '"""\n\n'
+            "# (s, a, (m_1..m_s)) per dimension, starting at dimension 1.\n"
+            "JOE_KUO_PARAMS = (\n"
+        )
+        for s, a, m in params:
+            f.write(f"    ({s}, {a}, {tuple(m)!r}),\n")
+        f.write(")\n")
+    print(f"wrote {OUT}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
