@@ -27,7 +27,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--height", type=int, default=720)
     p.add_argument("--depth", type=int, default=4, help="max fractal level")
     p.add_argument("--lod", type=float, default=70.0, help="LOD factor (ref: 70 AVX / 60 SSE)")
-    p.add_argument("--tile", type=str, default="64x128", help="tile HxW")
+    p.add_argument(
+        "--algorithm",
+        choices=("auto", "pallas", "fast", "strict", "loose"),
+        default="auto",
+        help="traversal implementation; auto = the Pallas production "
+        "kernel on TPU, the XLA fast path elsewhere",
+    )
+    p.add_argument("--tile", type=str, default=None,
+                   help="tile HxW (default: 32x32 for pallas, 64x128 otherwise)")
     p.add_argument("--max-frontier", type=int, default=1024)
     p.add_argument("--tile-batch", type=int, default=16)
     p.add_argument("--output", "-o", type=str, default="sphereflake.png")
@@ -53,6 +61,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platform", choices=("auto", "cpu"), default="auto")
     p.add_argument("--loose-lod", action="store_true",
                    help="node-level LOD gating (faster, packet-like semantics)")
+    # gradient-descent fitting (BASELINE config 4)
+    p.add_argument("--fit", type=str, default=None, metavar="TARGET_NPZ",
+                   help="fit scene params to a target G-buffer NPZ "
+                   "(from --gbuffer) instead of rendering")
+    p.add_argument("--fit-steps", type=int, default=100)
+    p.add_argument("--fit-lr", type=float, default=2e-3)
+    p.add_argument("--fit-params", choices=("camera", "all"), default="camera")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="save fitted params/opt state (or progressive "
+                   "state) to this NPZ")
+    p.add_argument("--resume", type=str, default=None,
+                   help="resume fit/progressive state from a checkpoint NPZ")
+    p.add_argument("--profile", type=str, default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the timed frames")
     return p
 
 
@@ -80,7 +102,11 @@ def main(argv=None) -> int:
         write_png,
     )
 
-    tile_h, tile_w = (int(v) for v in args.tile.split("x"))
+    algorithm = args.algorithm
+    if algorithm == "auto":
+        algorithm = "pallas" if jax.default_backend() == "tpu" else "fast"
+    tile = args.tile or ("32x32" if algorithm == "pallas" else "64x128")
+    tile_h, tile_w = (int(v) for v in tile.split("x"))
     try:
         cfg = RenderConfig(
             width=args.width,
@@ -91,6 +117,7 @@ def main(argv=None) -> int:
             tile_w=tile_w,
             max_frontier=args.max_frontier,
             tile_batch=args.tile_batch,
+            algorithm=algorithm,
             strict_lod=not args.loose_lod,
         )
     except ValueError as e:
@@ -116,13 +143,62 @@ def main(argv=None) -> int:
         f"device={jax.devices()[0].platform}"
     )
 
+    if args.fit:
+        import optax
+
+        from sphereflake_tpu.fit import camera_only, fit
+        from sphereflake_tpu.runtime.checkpoint import (
+            load_checkpoint,
+            save_checkpoint,
+        )
+
+        data = np.load(args.fit)
+        tgt_pos = jnp.asarray(data["position"])
+        tgt_nrm = jnp.asarray(data["normal"])
+        opt = optax.adam(
+            optax.cosine_decay_schedule(args.fit_lr, args.fit_steps)
+        )
+        opt_state = None
+        if args.resume:
+            loaded = load_checkpoint(
+                args.resume, {"scene": scene, "opt_state": opt.init(scene)}
+            )
+            scene, opt_state = loaded["scene"], loaded["opt_state"]
+        res = fit(
+            scene, tgt_pos, tgt_nrm, cfg,
+            steps=args.fit_steps, optimizer=opt, opt_state=opt_state,
+            param_filter=camera_only if args.fit_params == "camera" else None,
+            log_every=max(1, args.fit_steps // 10),
+        )
+        print(
+            f"fit: loss {res.losses[0]:.6f} -> best "
+            f"{min(res.losses):.6f} over {args.fit_steps} steps"
+        )
+        if args.checkpoint:
+            save_checkpoint(
+                args.checkpoint, scene=res.scene, opt_state=res.opt_state
+            )
+            print(f"wrote {args.checkpoint}")
+        image, _ = render_frame(res.scene, cfg)
+        write_png(args.output, np.asarray(image))
+        print(f"wrote {args.output}")
+        return 0
+
     if args.progressive:
         from sphereflake_tpu.runtime.progressive import (
             progressive_init,
             progressive_step,
         )
+        from sphereflake_tpu.runtime.checkpoint import (
+            load_checkpoint,
+            save_checkpoint,
+        )
 
         state = progressive_init(cfg, seed=args.seed)
+        if args.resume:
+            state = load_checkpoint(args.resume, {"progressive": state})[
+                "progressive"
+            ]
         t0 = time.perf_counter()
         for step in range(args.progressive):
             state = progressive_step(state, scene, cfg, batch_size=args.batch)
@@ -142,23 +218,47 @@ def main(argv=None) -> int:
         write_png(args.output, img)
         if args.gbuffer:
             write_gbuffer_npz(args.gbuffer, state.position, state.normal, state.min_t)
+        if args.checkpoint:
+            save_checkpoint(args.checkpoint, progressive=state)
+            print(f"wrote {args.checkpoint}")
         print(f"wrote {args.output}")
         return 0
 
-    image = None
-    gb = None
-    times = []
-    for frame in range(args.frames):
-        t0 = time.perf_counter()
+    import contextlib
+
+    profile_ctx = (
+        jax.profiler.trace(args.profile)
+        if args.profile
+        else contextlib.nullcontext()
+    )
+
+    def one_frame(i):
+        # Vary an inconsequential input so timed frames cannot be cached.
+        import dataclasses as _dc
+
+        cam = _dc.replace(scene.camera, yaw=scene.camera.yaw + 1e-7 * i)
+        sc = _dc.replace(scene, camera=cam)
         if args.mode == "composite":
-            image, gb = render_frame(scene, cfg)
-        else:
-            gb = render_gbuffer(scene, cfg)
-        jax.block_until_ready(gb.min_t)
-        times.append(time.perf_counter() - t0)
+            return render_frame(sc, cfg)
+        return None, render_gbuffer(sc, cfg)
+
+    image, gb = one_frame(0)
+    jax.block_until_ready(gb.min_t)  # compile barrier
+    # Dispatch the timed frames back-to-back and block once: per-call
+    # host<->device latency (tens of ms on tunneled TPUs) amortizes
+    # away, like the reference's frameless pipeline never stalling on
+    # the GL thread.
+    with profile_ctx:
+        t0 = time.perf_counter()
+        keep = []
+        for i in range(args.frames):
+            image, gb = one_frame(1 + i)
+            keep.append(gb.min_t[0, 0])
+        jnp.stack(keep).sum().block_until_ready()
+        dt_total = time.perf_counter() - t0
 
     m = gb.metrics
-    dt = times[-1]  # post-compile steady-state
+    dt = dt_total / args.frames
     rays = cfg.width * cfg.height
     # The reference's 1 Hz title line (main.cpp:271-294):
     print(

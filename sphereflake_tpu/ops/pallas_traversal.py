@@ -525,35 +525,56 @@ def resolve_codes(
 
     ratio = fractal.radius_ratio
     radius0 = fractal.root_radius
-    frame = jnp.broadcast_to(root, (code.shape[0], 3, 4))
+
+    # SoA frame walk: 12 per-ray component arrays instead of [N, 3, 4]
+    # tensors — batched 3x3 matmuls pad catastrophically on the MXU
+    # (3 -> 128 on both dims), while [N]-shaped FMA chains run at full
+    # VPU occupancy. The math is `rt_multiply` unrolled per component.
+    n = code.shape[0]
+    r = [jnp.broadcast_to(root[a, b], (n,)) for a in range(3) for b in range(3)]
+    t = [jnp.broadcast_to(root[a, 3], (n,)) for a in range(3)]
     radius = radius0
     for k in range(depth):
         # Base-9 digit for expansion step k (most significant first).
         p = jnp.take(pow_tab, jnp.maximum(level - 1 - k, 0))
         d = (rem // p) % 9
         scale = (1.0 + ratio) * radius
-        tmpl = templates.at[:, :, 3].multiply(scale)  # [9, 3, 4]
-        onehot = (d[:, None] == jnp.arange(9)[None, :]).astype(jnp.float32)
-        chosen = jnp.einsum(
-            "nj,jab->nab", onehot, tmpl,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        from sphereflake_tpu.ops.transforms import rt_multiply
-
-        new_frame = rt_multiply(frame, chosen)
-        take = (k < level)[:, None, None]
-        frame = jnp.where(take, new_frame, frame)
+        oh = [(d == j).astype(jnp.float32) for j in range(9)]
+        # Selected template entries per ray (rotation + scaled disp).
+        e = [
+            sum(oh[j] * templates[j, a, b] for j in range(9))
+            for a in range(3)
+            for b in range(3)
+        ]
+        disp = [
+            sum(oh[j] * templates[j, a, 3] for j in range(9)) * scale
+            for a in range(3)
+        ]
+        take = (k < level).astype(jnp.float32)
+        keep = 1.0 - take
+        new_r = [
+            sum(r[3 * a + kk] * e[3 * kk + b] for kk in range(3))
+            for a in range(3)
+            for b in range(3)
+        ]
+        new_t = [
+            sum(r[3 * a + kk] * disp[kk] for kk in range(3)) + t[a]
+            for a in range(3)
+        ]
+        r = [take * nr + keep * rr for nr, rr in zip(new_r, r)]
+        t = [take * nt + keep * tt for nt, tt in zip(new_t, t)]
         radius = radius * ratio
 
-    center = frame[:, :, 3]
+    cx, cy, cz = t
     r_hit = radius0 * fractal.radius_ratio ** level.astype(jnp.float32)
-    tca = jnp.sum(flat_dirs * center, axis=-1)
-    d2 = jnp.sum(center * center, axis=-1) - tca * tca
+    tca = flat_dirs[:, 0] * cx + flat_dirs[:, 1] * cy + flat_dirs[:, 2] * cz
+    d2 = cx * cx + cy * cy + cz * cz - tca * tca
     from sphereflake_tpu.ops.intersect import safe_sqrt
 
-    t = tca - safe_sqrt(r_hit * r_hit - d2)
-    min_t = jnp.where(hit, t, _BIG)
-    center = jnp.where(hit[:, None], center, 0.0)
+    tt = tca - safe_sqrt(r_hit * r_hit - d2)
+    min_t = jnp.where(hit, tt, _BIG)
+    hf = hit.astype(jnp.float32)
+    center = jnp.stack([cx * hf, cy * hf, cz * hf], axis=-1)
     return (
         min_t.reshape(shape),
         center.reshape(*shape, 3),

@@ -32,8 +32,14 @@ from sphereflake_tpu.ops.texture import (
 
 Array = Any
 
-# post_ssao.glsl:15 — the 4 kernel directions
-_KERNEL = jnp.asarray([[1.0, 0.0], [-1.0, 0.0], [0.0, 1.0], [0.0, -1.0]], jnp.float32)
+# post_ssao.glsl:15 — the 4 kernel directions. Kept as a NumPy constant:
+# this module is imported lazily (possibly inside an active jit trace),
+# where a module-level jnp constant would be built from tracers and leak.
+import numpy as _np
+
+_KERNEL = _np.asarray(
+    [[1.0, 0.0], [-1.0, 0.0], [0.0, 1.0], [0.0, -1.0]], _np.float32
+)
 # post_ssao_blur.glsl:9-10 — 5-tap gaussian as center + 2 mirrored taps
 _BLUR_OFFSET = (1.3846153846, 3.2307692308)
 _BLUR_WEIGHT = (0.2270270270, 0.3162162162, 0.0702702703)

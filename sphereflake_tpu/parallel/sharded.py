@@ -24,11 +24,16 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from sphereflake_tpu.camera import ray_directions
+from sphereflake_tpu.camera import ray_directions, tile_frustum_planes
 from sphereflake_tpu.config import RenderConfig, SceneParams
-from sphereflake_tpu.models.sphereflake import child_templates, root_frame
-from sphereflake_tpu.ops.traversal import _BIG, shade_gbuffer, tile_tracer
-from sphereflake_tpu.render import GBuffer, RenderMetrics, _tile, _untile
+from sphereflake_tpu.ops.traversal import _BIG, shade_gbuffer
+from sphereflake_tpu.render import (
+    GBuffer,
+    RenderMetrics,
+    _tile,
+    _untile,
+    trace_tiles,
+)
 
 Array = Any
 
@@ -47,28 +52,31 @@ def _block_cfg(cfg: RenderConfig, mesh: Mesh) -> RenderConfig:
 
 
 def _render_block(scene: SceneParams, cfg: RenderConfig, bcfg: RenderConfig):
-    """Render this device's image block (runs inside shard_map)."""
+    """Render this device's image block (runs inside shard_map).
+
+    Routed through the unified `render.trace_tiles` dispatch, so every
+    algorithm — including the Pallas production kernel — runs sharded."""
     iy = jax.lax.axis_index("ty")
     ix = jax.lax.axis_index("tx")
     y0 = (iy * bcfg.height).astype(jnp.float32)
     x0 = (ix * bcfg.width).astype(jnp.float32)
 
     ys, xs = jnp.meshgrid(
-        jnp.arange(bcfg.height, dtype=jnp.float32),
-        jnp.arange(bcfg.width, dtype=jnp.float32),
+        jnp.arange(bcfg.padded_height, dtype=jnp.float32),
+        jnp.arange(bcfg.padded_width, dtype=jnp.float32),
         indexing="ij",
     )
     # Global pixel coordinates; ray math uses the FULL image dimensions.
     dirs = ray_directions(scene.camera, xs + x0, ys + y0, cfg.width, cfg.height)
 
-    root = root_frame(scene.camera.position)
-    templates = child_templates(scene.fractal)
     tiles = _tile(dirs, bcfg)
+    planes = tile_frustum_planes(
+        scene.camera, cfg.width, cfg.height, bcfg.tile_h, bcfg.tile_w,
+        x_off=x0, y_off=y0,
+        block_h=bcfg.padded_height, block_w=bcfg.padded_width,
+    )
 
-    tracer = tile_tracer(bcfg)
-    res = jax.vmap(
-        lambda d: tracer(d, root, templates, scene.fractal, bcfg)
-    )(tiles)
+    res = trace_tiles(tiles, planes, scene, bcfg)
     pos_t, nrm_t = shade_gbuffer(tiles, res)
     return (
         _untile(pos_t, bcfg),
@@ -97,6 +105,9 @@ def render_gbuffer_sharded(
             P("ty", "tx"),
             P(),
         ),
+        # vma tracking cannot see through pallas_call out_shapes; all
+        # cross-device movement here is explicit (psum/pmax/pmin).
+        check_vma=False,
     )
     def run(scene):
         pos, nrm, min_t, hit, res = _render_block(scene, cfg, bcfg)
@@ -145,6 +156,7 @@ def fit_step_sharded(
         mesh=mesh,
         in_specs=(P(), P("ty", "tx"), P("ty", "tx")),
         out_specs=(P(), P()),
+        check_vma=False,
     )
     def run(scene, tgt_pos, tgt_nrm):
         def local_loss(s):
@@ -154,11 +166,13 @@ def fit_step_sharded(
 
         loss, grads = jax.value_and_grad(local_loss)(scene)
         loss = jax.lax.psum(jax.lax.psum(loss, "ty"), "tx")
-        # NOTE: no explicit psum on grads — `scene` enters the shard body
-        # replicated (in_specs=P()), and shard_map's autodiff inserts the
-        # gradient all-reduce itself when transposing the replicated
-        # input (JAX >= 0.8 varying-manual-axes rules). The parity test
-        # against the single-device gradient guards this contract.
+        # Explicit gradient all-reduce over both mesh axes (with
+        # check_vma=False the transpose no longer inserts it for us) —
+        # this is the `psum` the reference's shared-memory accumulation
+        # maps to. Guarded by the single-vs-sharded gradient parity test.
+        grads = jax.tree.map(
+            lambda g: jax.lax.psum(jax.lax.psum(g, "ty"), "tx"), grads
+        )
         return loss, grads
 
     return run(scene, target_position, target_normal)

@@ -1,0 +1,79 @@
+"""CLI driver tests: render / fit / progressive checkpoint round trips
+(the app-shell surface, `main.cpp:363-385` + `CommandLine.h`)."""
+
+import numpy as np
+
+from sphereflake_tpu.cli import main
+
+
+def _common(*extra):
+    return [
+        "--width", "96", "--height", "64", "--depth", "2",
+        "--algorithm", "fast", "--tile", "32x32", *extra,
+    ]
+
+
+def test_render_writes_png_and_gbuffer(tmp_path):
+    out = tmp_path / "a.png"
+    gbuf = tmp_path / "g.npz"
+    rc = main(_common("--output", str(out), "--gbuffer", str(gbuf)))
+    assert rc == 0
+    assert out.stat().st_size > 0
+    data = np.load(gbuf)
+    assert data["position"].shape == (64, 96, 3)
+    assert data["min_t"].shape == (64, 96)
+
+
+def test_render_pallas_algorithm(tmp_path):
+    out = tmp_path / "p.png"
+    rc = main(_common("--output", str(out))[:-4] + [
+        "--algorithm", "pallas", "--tile", "32x32", "--output", str(out),
+    ])
+    assert rc == 0
+    assert out.stat().st_size > 0
+
+
+def test_bad_tile_is_an_error(tmp_path):
+    rc = main(_common("--output", str(tmp_path / "x.png"))[:-4] + [
+        "--algorithm", "pallas", "--tile", "64x128",
+        "--output", str(tmp_path / "x.png"),
+    ])
+    assert rc == 2
+
+
+def test_fit_subcommand_reduces_loss(tmp_path, capsys):
+    gbuf = tmp_path / "g.npz"
+    assert main(_common(
+        "--output", str(tmp_path / "t.png"), "--gbuffer", str(gbuf)
+    )) == 0
+    rc = main(_common(
+        "--yaw", "0.93",  # perturbed start (default pose is 0.921999)
+        "--fit", str(gbuf), "--fit-steps", "8",
+        "--output", str(tmp_path / "f.png"),
+        "--checkpoint", str(tmp_path / "ck.npz"),
+    ))
+    assert rc == 0
+    txt = capsys.readouterr().out
+    line = [l for l in txt.splitlines() if l.startswith("fit: loss")][0]
+    first = float(line.split()[2])
+    best = float(line.split()[5])
+    assert best < first
+    assert (tmp_path / "ck.npz").stat().st_size > 0
+
+
+def test_progressive_checkpoint_resume(tmp_path, capsys):
+    ck = tmp_path / "prog.npz"
+    assert main(_common(
+        "--progressive", "3", "--batch", "1024",
+        "--output", str(tmp_path / "p.png"), "--checkpoint", str(ck),
+    )) == 0
+    assert main(_common(
+        "--progressive", "2", "--batch", "1024", "--resume", str(ck),
+        "--output", str(tmp_path / "p2.png"),
+    )) == 0
+    txt = capsys.readouterr().out
+    counts = [
+        int(l.split()[1]) for l in txt.splitlines()
+        if l.startswith("progressive:")
+    ]
+    assert counts == [3072, 5120]  # resumed run continues the cursor

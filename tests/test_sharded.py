@@ -99,3 +99,23 @@ def test_sharded_fit_step_gradients():
     np.testing.assert_allclose(
         float(loss1), float(single_loss(scene_p)), rtol=1e-5
     )
+
+
+def test_sharded_render_pallas_matches_single_device():
+    """The Pallas production kernel must run under shard_map with the
+    same output as its single-device run (VERDICT round-1 item 5)."""
+    cfg = RenderConfig(
+        width=256, height=128, max_depth=2, tile_h=32, tile_w=32,
+        max_frontier=128, algorithm="pallas",
+    )
+    scene = default_scene()
+    mesh = make_mesh(jax.devices()[:4], shape=(2, 2))
+    gb_s = render_gbuffer_sharded(scene, cfg, mesh)
+    gb_1 = render_gbuffer(scene, cfg)
+    np.testing.assert_array_equal(np.asarray(gb_s.hit), np.asarray(gb_1.hit))
+    # Block tiling changes each tile's frustum (block-local tiles), so
+    # the candidate SETS differ while remaining conservative supersets;
+    # winners agree to f32 noise.
+    np.testing.assert_allclose(
+        np.asarray(gb_s.min_t), np.asarray(gb_1.min_t), atol=1e-4, rtol=1e-4
+    )
