@@ -1,22 +1,41 @@
 """Headline benchmark: primary rays/s at 1080p depth-6 on one TPU chip.
 
-Prints ONE JSON line:
+Runs the PRODUCTION path (the fused Pallas traversal kernel,
+`sphereflake_tpu/ops/pallas_traversal.py`) and prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
 
 vs_baseline is against BASELINE.json's target of 2e9 primary rays/s per
 v5p chip (the reference itself publishes no numbers — BASELINE.md).
 Extra context lines go to stderr.
+
+Timing: frames are dispatched back-to-back and blocked once. On a
+tunneled TPU (axon) every synchronous dispatch+fetch pays ~27ms of
+round-trip latency; pipelined dispatch amortizes it exactly like the
+reference's frameless tracer never stalls on the display thread.
+The frame parameters vary per dispatch so no caching can elide work,
+and correctness gates the number: a frame that dropped geometry
+(frontier overflow) fails the bench rather than reporting a fast lie.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
+import os
 import sys
 import time
 
 
 def main() -> int:
+    os.makedirs("/root/.cache/jax-bench", exist_ok=True)
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax-bench")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    import jax.numpy as jnp
+    import numpy as np
 
     from sphereflake_tpu.config import RenderConfig, default_scene
     from sphereflake_tpu.render import render_gbuffer
@@ -24,42 +43,63 @@ def main() -> int:
     dev = jax.devices()[0]
     print(f"bench device: {dev.platform} {dev.device_kind}", file=sys.stderr)
 
-    # 1080p depth-6: BASELINE.json config 3 geometry. 1080 = 9*120.
+    # 1080p depth-6: BASELINE.json config 3 geometry, production kernel.
     cfg = RenderConfig(
         width=1920,
         height=1080,
         max_depth=6,
-        tile_h=120,
-        tile_w=128,
-        tile_batch=27,
+        tile_h=32,
+        tile_w=32,
         max_frontier=1024,
+        algorithm="pallas" if dev.platform != "cpu" else "fast",
         strict_lod=True,
     )
     scene = default_scene()
 
+    def frame(i: int):
+        cam = dataclasses.replace(
+            scene.camera, yaw=scene.camera.yaw + 1e-7 * i
+        )
+        return render_gbuffer(dataclasses.replace(scene, camera=cam), cfg)
+
     t0 = time.perf_counter()
-    gb = render_gbuffer(scene, cfg)
-    jax.block_until_ready(gb.min_t)
+    gb = frame(0)
+    sync = float(np.asarray(jnp.sum(gb.min_t)))  # full completion barrier
     compile_s = time.perf_counter() - t0
     print(f"first frame (incl. compile): {compile_s:.1f}s", file=sys.stderr)
+    overflow = int(gb.metrics.overflow)
     print(
-        f"depth_reached={int(gb.metrics.max_depth_reached)} "
-        f"overflow={int(gb.metrics.overflow)} "
+        f"algorithm={cfg.algorithm} depth_reached={int(gb.metrics.max_depth_reached)} "
+        f"overflow={overflow} nodes={int(gb.metrics.nodes_visited)} "
         f"closest={float(gb.metrics.closest_distance):.3f}",
         file=sys.stderr,
     )
+    if overflow:
+        print(
+            f"FAIL: frontier overflow dropped {overflow} nodes — the "
+            "benchmarked image would be missing geometry; raise "
+            "max_frontier",
+            file=sys.stderr,
+        )
+        return 1
 
-    frames = 5
-    t0 = time.perf_counter()
-    for _ in range(frames):
-        gb = render_gbuffer(scene, cfg)
-    jax.block_until_ready(gb.min_t)
-    dt = time.perf_counter() - t0
-    rays = cfg.width * cfg.height * frames
-    rays_per_s = rays / dt
+    def run(frames: int) -> float:
+        keep = []
+        t0 = time.perf_counter()
+        for i in range(frames):
+            keep.append(frame(1 + i).min_t[0, 0])
+        _ = float(np.asarray(jnp.stack(keep).sum()))
+        return time.perf_counter() - t0
+
+    run(2)  # warm every dispatch path
+    t1 = run(1)
+    frames = 10
+    tn = run(frames + 1)
+    dt = (tn - t1) / frames  # latency-cancelled steady-state
+    rays_per_s = cfg.width * cfg.height / dt
     print(
-        f"{frames} frames in {dt:.3f}s -> {rays_per_s / 1e6:.1f}M rays/s "
-        f"({dt / frames * 1e3:.1f} ms/frame)",
+        f"{frames} pipelined frames: {dt * 1e3:.2f} ms/frame -> "
+        f"{rays_per_s / 1e6:.1f}M rays/s",
         file=sys.stderr,
     )
 

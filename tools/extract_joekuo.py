@@ -30,6 +30,7 @@ import numpy as np
 
 SRC = "/root/reference/sphereflake/Sobol.cpp"
 OUT = "/root/repo/sphereflake_tpu/ops/_joekuo.py"
+OUT_H = "/root/repo/native/joekuo_params.h"
 NDIM, NBITS = 1024, 52
 
 
@@ -136,6 +137,23 @@ def main():
             f.write(f"    ({s}, {a}, {tuple(m)!r}),\n")
         f.write(")\n")
     print(f"wrote {OUT}")
+
+    with open(OUT_H, "w") as f:
+        f.write(
+            "// Joe-Kuo (2008) Sobol parameters, dims 1..1023 — published\n"
+            "// mathematical constants (new-joe-kuo-6.21201), recovered and\n"
+            "// verified bit-exact by tools/extract_joekuo.py. Generated file.\n"
+            "#pragma once\n\n"
+            f"constexpr int kJoeKuoMaxDegree = {smax};\n"
+            "struct JoeKuo {\n  int s;\n  int a;\n"
+            f"  int m[{smax}];\n}};\n\n"
+            "constexpr JoeKuo kJoeKuoParams[] = {\n"
+        )
+        for s, a, m in params:
+            ms = ", ".join(str(x) for x in m)
+            f.write(f"    {{{s}, {a}, {{{ms}}}}},\n")
+        f.write("};\n")
+    print(f"wrote {OUT_H}")
     return 0
 
 
