@@ -257,6 +257,23 @@ def main(argv=None) -> int:
         jnp.stack(keep).sum().block_until_ready()
         dt_total = time.perf_counter() - t0
 
+    # Frontier overflow means dropped geometry: retry with doubled
+    # capacity until clean (capacity may cost speed, never correctness —
+    # the reference's recursion visits every LOD-passing node,
+    # `Sphereflake.h:165-172`).
+    retries = 0
+    while int(gb.metrics.overflow) and retries < 3:
+        new_frontier = cfg.max_frontier * 2
+        print(
+            f"frontier overflow ({int(gb.metrics.overflow)} nodes dropped); "
+            f"retrying with max_frontier={new_frontier}",
+            file=sys.stderr,
+        )
+        cfg = dataclasses.replace(cfg, max_frontier=new_frontier)
+        image, gb = one_frame(0)
+        jax.block_until_ready(gb.min_t)
+        retries += 1
+
     m = gb.metrics
     dt = dt_total / args.frames
     rays = cfg.width * cfg.height

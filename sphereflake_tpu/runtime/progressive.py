@@ -115,20 +115,81 @@ def progressive_step(
     py = 1.0 + jnp.floor(sy * (h - 2))
 
     dirs = ray_directions(scene.camera, px, py, w, h)  # [B, 3]
-    res = tile_tracer(cfg)(
-        dirs,
-        root_frame(scene.camera.position),
-        child_templates(scene.fractal),
-        scene.fractal,
-        cfg,
-    )
+    root = root_frame(scene.camera.position)
+    templates = child_templates(scene.fractal)
+
+    if cfg.algorithm == "pallas":
+        # The production kernel wants 1024-ray bundles with bounding
+        # frusta. Sobol samples are scattered across the screen, so the
+        # batch is sorted into spatially-local groups first (samples of
+        # nearby conceptual tiles land in the same bundle), each bundle
+        # culled by its own conservative frustum
+        # (`camera.bundle_frustum_planes`), then results unsorted.
+        import jax
+
+        from sphereflake_tpu.camera import bundle_frustum_planes
+        from sphereflake_tpu.ops.pallas_traversal import (
+            TILE_RAYS,
+            resolve_codes,
+            trace_tiles_pallas,
+        )
+        from sphereflake_tpu.ops.traversal import TraceResult
+
+        assert batch_size % TILE_RAYS == 0, (
+            f"pallas progressive needs batch_size % {TILE_RAYS} == 0"
+        )
+        tile_id = (py // cfg.tile_h).astype(jnp.int32) * cfg.tiles_x + (
+            px // cfg.tile_w
+        ).astype(jnp.int32)
+        order = jnp.argsort(tile_id, stable=True)
+        groups = dirs[order].reshape(-1, TILE_RAYS, 3)
+        planes = jax.vmap(bundle_frustum_planes)(groups)
+        interpret = jax.default_backend() != "tpu"
+        _, code, m = trace_tiles_pallas(
+            groups, planes, root, templates, scene.fractal, cfg,
+            interpret=interpret,
+        )
+        mt_s, center_s, hit_s = resolve_codes(
+            groups, code, root, templates, scene.fractal, cfg
+        )
+        inv = jnp.argsort(order, stable=True)
+        res = TraceResult(
+            min_t=mt_s.reshape(-1)[inv],
+            center=center_s.reshape(-1, 3)[inv],
+            hit=hit_s.reshape(-1)[inv],
+            max_depth_reached=jnp.max(m[:, 0, 2]),
+            nodes_visited=jnp.sum(m[:, 0, 0]),
+            overflow=jnp.sum(m[:, 0, 1]),
+        )
+    else:
+        res = tile_tracer(cfg)(dirs, root, templates, scene.fractal, cfg)
     pos, nrm = shade_gbuffer(dirs, res)
 
     xi = px.astype(jnp.int32)
     yi = py.astype(jnp.int32)
-    position = state.position.at[yi, xi].set(pos)
-    normal = state.normal.at[yi, xi].set(nrm)
-    min_t = state.min_t.at[yi, xi].set(res.min_t)
+    # Deterministic duplicate resolution: the reference's racy G-buffer
+    # lets whichever thread writes last win (`Sphereflake.cpp:186-201`);
+    # here duplicates within a batch resolve to the LAST sample in
+    # batch order, made explicit by scattering only each pixel's final
+    # winner (unique indices -> well-defined scatter).
+    pix = yi * w + xi
+    s_order = jnp.argsort(pix, stable=True)
+    pix_s = pix[s_order]
+    is_winner = jnp.concatenate(
+        [pix_s[:-1] != pix_s[1:], jnp.ones((1,), bool)]
+    )
+    dst = jnp.where(is_winner, pix_s, w * h)  # losers -> dump slot
+
+    def scatter_plane(plane, updates):
+        flat = plane.reshape(w * h, *updates.shape[1:])
+        pad = jnp.zeros((1, *updates.shape[1:]), flat.dtype)
+        out = jnp.concatenate([flat, pad], axis=0)
+        out = out.at[dst].set(updates[s_order])
+        return out[: w * h].reshape(plane.shape)
+
+    position = scatter_plane(state.position, pos)
+    normal = scatter_plane(state.normal, nrm)
+    min_t = scatter_plane(state.min_t, res.min_t)
 
     batch_closest = jnp.min(jnp.where(res.hit, res.min_t, _BIG))
     return ProgressiveState(

@@ -90,3 +90,43 @@ def test_scramble_modes():
     a = progressive_step(progressive_init(CFG, 5), scene, CFG, 2048, "fixed")
     b = progressive_step(progressive_init(CFG, 5), scene, CFG, 2048, "per_sample")
     assert (np.asarray(a.normal) != np.asarray(b.normal)).any()
+
+
+def test_progressive_pallas_matches_fast_path():
+    """The production kernel serves the frameless mode too (bundle
+    frusta over spatially-sorted Sobol batches)."""
+    import dataclasses
+
+    cfg_f = RenderConfig(width=96, height=64, max_depth=2, tile_h=32,
+                         tile_w=32, max_frontier=128, algorithm="fast")
+    cfg_p = dataclasses.replace(cfg_f, algorithm="pallas")
+    scene = default_scene()
+
+    sf = progressive_init(cfg_f, seed=3)
+    sp = progressive_init(cfg_p, seed=3)
+    for _ in range(3):
+        sf = progressive_step(sf, scene, cfg_f, batch_size=1024)
+        sp = progressive_step(sp, scene, cfg_p, batch_size=1024)
+
+    # Same sample stream, same scatter policy -> same covered pixels.
+    cov_f = np.asarray(sf.min_t) < 1e30
+    cov_p = np.asarray(sp.min_t) < 1e30
+    assert (cov_f == cov_p).mean() > 0.999
+    both = cov_f & cov_p
+    tf, tp = np.asarray(sf.min_t)[both], np.asarray(sp.min_t)[both]
+    assert np.isclose(tf, tp, rtol=1e-4, atol=1e-4).mean() > 0.995
+
+
+def test_progressive_duplicate_pixels_deterministic():
+    """Duplicates in one batch resolve deterministically (last sample
+    wins), unlike the reference's racy scatter — run twice, compare."""
+    cfg = RenderConfig(width=16, height=16, max_depth=1, tile_h=16,
+                       tile_w=16, max_frontier=128)
+    scene = default_scene()
+    # Tiny image + large batch forces many duplicate pixels per batch.
+    a = progressive_step(progressive_init(cfg, seed=1), scene, cfg,
+                         batch_size=4096, scramble="per_sample")
+    b = progressive_step(progressive_init(cfg, seed=1), scene, cfg,
+                         batch_size=4096, scramble="per_sample")
+    np.testing.assert_array_equal(np.asarray(a.position), np.asarray(b.position))
+    np.testing.assert_array_equal(np.asarray(a.min_t), np.asarray(b.min_t))
