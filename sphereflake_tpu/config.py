@@ -169,7 +169,7 @@ class RenderConfig:
     background: float = 0.0  # sky writes zeros (post_final.glsl:20-24)
 
     def __post_init__(self):
-        if self.algorithm == "pallas":
+        if self.algorithm in ("pallas", "binned"):
             # The pallas kernel maps one tile onto one [8, 128] vreg;
             # the image is padded to a tile multiple and cropped after.
             if self.tile_h * self.tile_w != 1024:

@@ -1,0 +1,430 @@
+"""Binned traversal: frame-global expansion + screen-tile binning (XLA)
+feeding a lean per-tile Pallas ray kernel.
+
+The per-tile kernel (`pallas_traversal.py`) re-expands the fractal for
+every tile, so the tree walk near the root is repeated ~2000x per
+frame. This path walks the tree ONCE per frame:
+
+1. **Global expansion** (`expand_global`): dense SoA frontier per level
+   (component arrays, no compaction — elementwise masked math is far
+   cheaper on the VPU than sort-based compaction), culled by the
+   whole-frame frustum and the conservative LOD bound. This is the
+   reference's recursion (`Sphereflake.h:86-226`) with the screen for a
+   packet.
+2. **Binning** (`bin_nodes`): every live node's bounding sphere (radius
+   2r, the reference's bounding test radius) is projected to a
+   conservative screen-space tile range by exact interval arithmetic in
+   the corner-ray basis (`Sphereflake.cpp:162-167` inverted); (node,
+   tile) pairs are laid out by a single sort, giving each tile a dense
+   queue segment. The binning is a conservative superset of the
+   per-tile frustum cull, so results match the per-tile kernel.
+3. **Ray kernel** (`trace_pairs_pallas`): grid over tiles; per-tile
+   segment (start, len) arrives via scalar prefetch; the kernel DMAs
+   its pair window HBM->SMEM and runs the same scalar-driven
+   node loop as the per-tile kernel — exactly `len` iterations, one
+   [8, 128] vreg of rays.
+
+Select with ``RenderConfig(algorithm="binned")``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sphereflake_tpu.config import FractalParams, RenderConfig
+
+Array = Any
+_BIG = np.float32(3.0e38)
+
+PAIR_CAP = 1 << 18  # static bound on (node, tile) pairs per frame
+SEG_WIN = 1024  # max pairs one tile's kernel pass consumes
+_LANES = 128
+
+
+def _level_sizes(cfg: RenderConfig) -> list[int]:
+    # Dense per-level node counts. Beyond global_cap the expansion
+    # switches to compaction of the parent level (not yet needed for
+    # depth <= 6: 9^6 = 531441 stays dense).
+    return [9**l for l in range(cfg.max_depth + 1)]
+
+
+def expand_global(
+    root: Array,  # [3, 4]
+    templates: Array,  # [9, 3, 4]
+    fractal: FractalParams,
+    cfg: RenderConfig,
+    frame_planes: Array,  # [4, 3] inward unit planes of the whole frame
+):
+    """Dense masked SoA expansion of the whole LOD-passing tree.
+
+    Returns dict with [N] component arrays over all levels concatenated:
+    cx, cy, cz, cc (|c|^2), r2, lodr, code (int32), live (bool), rad
+    (bounding radius 2r per node).
+    """
+    depth = cfg.max_depth
+    lod_sq = jnp.float32(cfg.lod_factor**2)
+    ratio = fractal.radius_ratio
+    radius0 = fractal.root_radius
+
+    rot = [[templates[:, a, b] for b in range(3)] for a in range(3)]  # [9]
+    disp = [templates[:, a, 3] for a in range(3)]
+
+    # Level 0: the root frame.
+    r = [jnp.broadcast_to(root[a, b], (1,)) for a in range(3) for b in range(3)]
+    t = [jnp.broadcast_to(root[a, 3], (1,)) for a in range(3)]
+    code = jnp.ones((1,), jnp.int32)
+    live = jnp.ones((1,), bool)
+
+    out = {k: [] for k in ("cx", "cy", "cz", "cc", "r2", "lodr", "code",
+                            "live", "rad")}
+
+    def emit(t, code, live, radius):
+        cx, cy, cz = t
+        cc = cx * cx + cy * cy + cz * cz
+        # Whole-frame frustum + LOD cull (same conservative tests the
+        # per-tile kernel applies, with the frame for a frustum).
+        lim = lod_sq * radius + 2.0 * radius
+        keep = live & (cc < lim * lim)
+        for p in range(4):
+            d_p = (
+                frame_planes[p, 0] * cx
+                + frame_planes[p, 1] * cy
+                + frame_planes[p, 2] * cz
+            )
+            keep = keep & (d_p >= -2.0 * radius)
+        out["cx"].append(cx)
+        out["cy"].append(cy)
+        out["cz"].append(cz)
+        out["cc"].append(cc)
+        n = cx.shape[0]
+        out["r2"].append(jnp.full((n,), 1.0, jnp.float32) * (radius * radius))
+        out["lodr"].append(jnp.full((n,), 1.0, jnp.float32) * (lod_sq * radius))
+        out["code"].append(code)
+        out["live"].append(keep)
+        out["rad"].append(jnp.full((n,), 1.0, jnp.float32) * (2.0 * radius))
+        return keep
+
+    radius = radius0
+    live = emit(t, code, live, radius)
+    for _level in range(depth):
+        scale = (1.0 + ratio) * radius
+        # Children: [9, N] via broadcasting template constants.
+        new_r = [
+            sum(r[3 * a + k][None, :] * rot[k][b][:, None] for k in range(3))
+            for a in range(3)
+            for b in range(3)
+        ]
+        new_t = [
+            sum(r[3 * a + k][None, :] * (scale * disp[k])[:, None]
+                for k in range(3))
+            + t[a][None, :]
+            for a in range(3)
+        ]
+        code = (code[None, :] * 9 + jnp.arange(9, dtype=jnp.int32)[:, None])
+        n9 = code.shape[0] * code.shape[1]
+        r = [x.reshape(n9) for x in new_r]
+        t = [x.reshape(n9) for x in new_t]
+        code = code.reshape(n9)
+        live = jnp.broadcast_to(live[None, :], (9, live.shape[0])).reshape(n9)
+        radius = radius * ratio
+        live = emit(t, code, live, radius)
+
+    return {k: jnp.concatenate(v) for k, v in out.items()}
+
+
+def corner_basis(cam, width: int, height: int):
+    """Rows of M^-1 for the corner-ray basis: a camera-relative point c
+    projects to screen uv' = (s0/s2, s1/s2) with s = M^-1 c, where
+    M = [TR-TL | BL-TL | TL-origin] (`Sphereflake.cpp:162-167`)."""
+    from sphereflake_tpu.camera import corner_rays
+
+    origin, tl, tr, bl = corner_rays(cam, width / height)
+    m = jnp.stack([tr - tl, bl - tl, tl - origin], axis=1)  # [3, 3]
+    minv = jnp.linalg.inv(m)
+    return minv
+
+
+def bin_nodes(nodes, minv, cfg: RenderConfig):
+    """Conservative (node, tile) pairing + one sort into tile segments.
+
+    Returns (pairs [8, PAIR_CAP], starts [T], lens [T], n_pairs,
+    pair_overflow)."""
+    tw, th = cfg.tile_w, cfg.tile_h
+    tx_n, ty_n = cfg.tiles_x, cfg.tiles_y
+    n_tiles = tx_n * ty_n
+    w, h = cfg.padded_width, cfg.padded_height
+    # NDC scale: uv in [0,1] maps pixel x = u*width (original dims).
+    sx = cfg.width / tw
+    sy = cfg.height / th
+
+    c = [nodes["cx"], nodes["cy"], nodes["cz"]]
+    rad = nodes["rad"]
+    s = [
+        minv[k, 0] * c[0] + minv[k, 1] * c[1] + minv[k, 2] * c[2]
+        for k in range(3)
+    ]
+    mnorm = [jnp.sqrt(jnp.sum(minv[k] * minv[k])) for k in range(3)]
+    ds = [mnorm[k] * rad for k in range(3)]
+
+    # Interval arithmetic on u' = s0/s2, v' = s1/s2 over the sphere.
+    s2_lo = s[2] - ds[2]
+    s2_hi = s[2] + ds[2]
+    front = s2_lo > 0.0  # safely in front of the camera plane
+
+    def ratio_bounds(num, dnum):
+        n_lo, n_hi = num - dnum, num + dnum
+        cands = [
+            n_lo / s2_lo, n_lo / s2_hi, n_hi / s2_lo, n_hi / s2_hi
+        ]
+        return (
+            jnp.minimum(jnp.minimum(cands[0], cands[1]),
+                        jnp.minimum(cands[2], cands[3])),
+            jnp.maximum(jnp.maximum(cands[0], cands[1]),
+                        jnp.maximum(cands[2], cands[3])),
+        )
+
+    u_lo, u_hi = ratio_bounds(s[0], ds[0])
+    v_lo, v_hi = ratio_bounds(s[1], ds[1])
+
+    # Tile ranges (conservative; behind-camera nodes take everything).
+    # Tiles are indexed over the padded grid; uv' of 1.0 = original
+    # width/height, so the scale converts uv' -> tile units directly.
+    tx0 = jnp.clip(jnp.floor(u_lo * sx).astype(jnp.int32), 0, tx_n - 1)
+    tx1 = jnp.clip(jnp.floor(u_hi * sx).astype(jnp.int32), 0, tx_n - 1)
+    ty0 = jnp.clip(jnp.floor(v_lo * sy).astype(jnp.int32), 0, ty_n - 1)
+    ty1 = jnp.clip(jnp.floor(v_hi * sy).astype(jnp.int32), 0, ty_n - 1)
+    tx0 = jnp.where(front, tx0, 0)
+    ty0 = jnp.where(front, ty0, 0)
+    tx1 = jnp.where(front, tx1, tx_n - 1)
+    ty1 = jnp.where(front, ty1, ty_n - 1)
+    bw = tx1 - tx0 + 1
+    counts = jnp.where(nodes["live"], bw * (ty1 - ty0 + 1), 0)
+
+    offsets = jnp.cumsum(counts)  # inclusive
+    n_pairs = offsets[-1]
+    pair_overflow = jnp.maximum(n_pairs - PAIR_CAP, 0)
+
+    # pair -> node: scatter each live node's first-pair slot, then a
+    # running max fills the gaps (pairs of one node are contiguous).
+    first = offsets - counts
+    slot = jnp.where(
+        (counts > 0) & (first < PAIR_CAP), first, PAIR_CAP
+    )
+    marks = jnp.zeros((PAIR_CAP + 1,), jnp.int32).at[slot].max(
+        jnp.arange(counts.shape[0], dtype=jnp.int32)
+    )[:PAIR_CAP]
+    pair_node = jax.lax.associative_scan(jnp.maximum, marks)
+    pair_rank = jnp.arange(PAIR_CAP, dtype=jnp.int32) - jnp.take(
+        first, pair_node
+    )
+    pair_valid = pair_rank < jnp.take(counts, pair_node)
+
+    # Decode the tile from the rank within the node's bbox.
+    nb_w = jnp.take(bw, pair_node)
+    nb_x0 = jnp.take(tx0, pair_node)
+    nb_y0 = jnp.take(ty0, pair_node)
+    p_tx = nb_x0 + pair_rank % jnp.maximum(nb_w, 1)
+    p_ty = nb_y0 + pair_rank // jnp.maximum(nb_w, 1)
+    tile = jnp.where(pair_valid, p_ty * tx_n + p_tx, n_tiles)
+
+    order = jnp.argsort(tile)
+    tile_sorted = tile[order]
+    node_sorted = pair_node[order]
+
+    rows = jnp.stack(
+        [
+            nodes["cx"], nodes["cy"], nodes["cz"], nodes["cc"],
+            nodes["r2"], nodes["lodr"],
+            nodes["code"].astype(jnp.float32),
+            jnp.zeros_like(nodes["cx"]),
+        ]
+    )  # [8, N]
+    pairs = rows[:, node_sorted]  # [8, PAIR_CAP]
+    # Dead pairs (tile == n_tiles) sit at the end; starts/lens ignore
+    # them, but stamp r2 = -1 defensively so no ray test can pass.
+    dead = tile_sorted >= n_tiles
+    pairs = pairs.at[4, :].set(jnp.where(dead, -1.0, pairs[4, :]))
+
+    starts = jnp.searchsorted(tile_sorted, jnp.arange(n_tiles, dtype=jnp.int32))
+    ends = jnp.searchsorted(
+        tile_sorted, jnp.arange(1, n_tiles + 1, dtype=jnp.int32)
+    )
+    lens = ends - starts
+    return pairs, starts.astype(jnp.int32), lens.astype(jnp.int32), (
+        n_pairs, pair_overflow
+    )
+
+
+def make_pairs_kernel(win: int):
+    """Kernel body: per-tile scalar node loop over a DMA'd pair window."""
+
+    def kernel(
+        starts_ref,  # SMEM [T] scalar-prefetch
+        lens_ref,  # SMEM [T] scalar-prefetch
+        dirs_ref,  # VMEM [1, 3, 8, 128]
+        pairs_ref,  # ANY (HBM) [8, PAIR_CAP + win]
+        out_ref,  # VMEM [1, 2, 8, 128]
+        mout_ref,  # SMEM [1, 1, 4]
+        qs,  # SMEM scratch [8, win + 128]
+        sem,
+    ):
+        i = pl.program_id(0)
+        start = starts_ref[i]
+        length = lens_ref[i]
+        base = pl.multiple_of((start // _LANES) * _LANES, _LANES)
+        off = start - base
+        clipped = jnp.minimum(length, win + _LANES - off)
+
+        @pl.when(length > 0)
+        def _():
+            cp = pltpu.make_async_copy(
+                pairs_ref.at[:, pl.ds(base, win + _LANES)], qs, sem
+            )
+            cp.start()
+            cp.wait()
+
+        dx = dirs_ref[0, 0]
+        dy = dirs_ref[0, 1]
+        dz = dirs_ref[0, 2]
+        bt0 = jnp.full((8, _LANES), _BIG, jnp.float32)
+        bc0 = jnp.zeros((8, _LANES), jnp.float32)
+
+        def node_body(q, carry):
+            bt, bc = carry
+            cx = qs[0, off + q]
+            cy = qs[1, off + q]
+            cz = qs[2, off + q]
+            cc = qs[3, off + q]
+            r2 = qs[4, off + q]
+            lodr = qs[5, off + q]
+            code = qs[6, off + q]
+            tca = dx * cx + dy * cy + dz * cz
+            d2 = cc - tca * tca
+            c1 = tca - lodr
+            lod_ok = (c1 < 0.0) | (c1 * c1 < 4.0 * r2 - d2)
+            ok = (tca >= 0.0) & lod_ok & (d2 <= r2)
+            ts = tca - jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
+            better = ok & (ts < bt)
+            return (
+                jnp.where(better, ts, bt),
+                jnp.where(better, code, bc),
+            )
+
+        bt, bc = jax.lax.fori_loop(0, clipped, node_body, (bt0, bc0))
+        out_ref[0, 0] = bt
+        out_ref[0, 1] = bc
+        mout_ref[0, 0, 0] = length
+        mout_ref[0, 0, 1] = jnp.maximum(length - clipped, 0)  # window overflow
+        mout_ref[0, 0, 2] = jnp.int32(0)
+        mout_ref[0, 0, 3] = jnp.int32(0)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("cfg", "interpret"))
+def trace_pairs_pallas(
+    tile_dirs: Array,  # [T, 1024, 3]
+    pairs: Array,  # [8, PAIR_CAP]
+    starts: Array,  # [T] int32
+    lens: Array,  # [T] int32
+    cfg: RenderConfig,
+    interpret: bool = False,
+):
+    """Per-tile ray tests against binned segments. Returns
+    (min_t [T, 1024], code [T, 1024], metrics [T, 1, 4])."""
+    T, rays, _ = tile_dirs.shape
+    assert rays == 1024
+    sg = jax.lax.stop_gradient
+    tile_dirs, pairs = sg((tile_dirs, pairs))
+    dirs_t = jnp.moveaxis(tile_dirs, 2, 1).reshape(T, 3, 8, _LANES)
+    # Pad so the last window's DMA never reads out of bounds.
+    pairs_pad = jnp.concatenate(
+        [pairs, jnp.zeros((8, SEG_WIN + _LANES), pairs.dtype)], axis=1
+    )
+
+    kernel = make_pairs_kernel(SEG_WIN)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 3, 8, _LANES),
+                lambda i, s, l: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, 2, 8, _LANES),
+                lambda i, s, l: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 4), lambda i, s, l: (i, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((8, SEG_WIN + _LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out, metrics = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((T, 2, 8, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((T, 1, 4), jnp.int32),
+        ),
+        interpret=interpret,
+    )(starts, lens, dirs_t, pairs_pad)
+    return (
+        out[:, 0].reshape(T, rays),
+        out[:, 1].reshape(T, rays),
+        metrics,
+    )
+
+
+def trace_tiles_binned(
+    tiles: Array,  # [T, 1024, 3]
+    scene,
+    cfg: RenderConfig,
+    root: Array,
+    templates: Array,
+):
+    """Full binned pipeline -> TraceResult-compatible tuple."""
+    from sphereflake_tpu.camera import tile_frustum_planes
+    from sphereflake_tpu.ops.pallas_traversal import resolve_codes
+
+    frame_planes = tile_frustum_planes(
+        scene.camera, cfg.width, cfg.height,
+        cfg.padded_height, cfg.padded_width,
+        block_h=cfg.padded_height, block_w=cfg.padded_width,
+    )[0]  # one "tile" = the whole frame
+    nodes = expand_global(root, templates, scene.fractal, cfg, frame_planes)
+    minv = corner_basis(scene.camera, cfg.width, cfg.height)
+    pairs, starts, lens, (n_pairs, pair_overflow) = bin_nodes(
+        nodes, minv, cfg
+    )
+    interpret = jax.default_backend() != "tpu"
+    min_t_k, code, m = trace_pairs_pallas(
+        tiles, pairs, starts, lens, cfg, interpret=interpret
+    )
+    min_t, center, hit = resolve_codes(
+        tiles, code, root, templates, scene.fractal, cfg
+    )
+    overflow = jnp.sum(m[:, 0, 1]) + pair_overflow
+    # Deepest live level from the code magnitudes (log9 of max code).
+    max_code = jnp.max(code).astype(jnp.int32)
+    depth_reached = jnp.zeros((), jnp.int32)
+    for k in range(1, cfg.max_depth + 1):
+        depth_reached = depth_reached + (max_code >= 9**k).astype(jnp.int32)
+    return min_t, center, hit, depth_reached, jnp.sum(m[:, 0, 0]), overflow

@@ -264,10 +264,12 @@ def make_trace_kernel(cfg: RenderConfig):
                 ccy = children[_TY:_TY + 1, :]
                 ccz = children[_TZ:_TZ + 1, :]
                 cc = ccx * ccx + ccy * ccy + ccz * ccz
-                dist = jnp.sqrt(jnp.maximum(cc, 1e-20))
                 # Conservative LOD: closest possible bounding-sphere hit
-                # (dist - 2r) still below the cut (`Sphereflake.h:146`).
-                keep = (dist - 2.0 * r_c) < lod_rc
+                # (dist - 2r) still below the cut (`Sphereflake.h:146`),
+                # compared in squared form to skip the sqrt:
+                # dist < lodr + 2r  <=>  cc < (lodr + 2r)^2.
+                lim = lod_rc + 2.0 * r_c
+                keep = cc < lim * lim
                 neg2r = -2.0 * r_c
                 for p in range(4):
                     d_p = (
@@ -301,13 +303,16 @@ def make_trace_kernel(cfg: RenderConfig):
                         keep & (gdst - obase == col), 1.0, 0.0
                     )
                     # packed += children @ sel^T — contraction over the
-                    # 1152 child lanes; 0/1 weights make this exact on
-                    # the MXU (one f32 addend per output lane).
+                    # 1152 child lanes. One-hot 0/1 weights make this
+                    # EXACT at 3-pass bf16 precision: each output lane
+                    # receives a single f32 addend whose bf16x3 split
+                    # recombines exactly, so HIGH halves the MXU passes
+                    # of HIGHEST for free.
                     nxt[:, pl.ds(obase, _LANES)] += jax.lax.dot_general(
                         children[:, :],
                         sel[:, :],
                         (((1,), (1,)), ((), ())),
-                        precision=jax.lax.Precision.HIGHEST,
+                        precision=jax.lax.Precision.HIGH,
                     )
                     return 0
 
@@ -359,8 +364,13 @@ def make_trace_kernel(cfg: RenderConfig):
                 # `SIMD_AVX.h:236-270` with origin folded into centers.
                 tca = dx * cx + dy * cy + dz * cz  # [8, 128]
                 d2 = cc - tca * tca
-                tb = tca - jnp.sqrt(jnp.maximum(4.0 * r2 - d2, 0.0))
-                ok = (tca >= 0.0) & (tb < lodr) & (d2 <= r2)
+                # Bounding LOD gate, sqrt-free: the reference's
+                # tb = tca - sqrt(4r^2 - d^2) < lodr rearranges to
+                # (tca - lodr) < sqrt(.) — true when the lhs is
+                # negative, else compared in squared form.
+                c1 = tca - lodr
+                lod_ok = (c1 < 0.0) | (c1 * c1 < 4.0 * r2 - d2)
+                ok = (tca >= 0.0) & lod_ok & (d2 <= r2)
                 ts = tca - jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
                 better = ok & (ts < bt)
                 return (

@@ -107,6 +107,21 @@ def trace_tiles(
     root = root_frame(scene.camera.position)
     templates = child_templates(scene.fractal)
 
+    if cfg.algorithm == "binned":
+        from sphereflake_tpu.ops.binned import trace_tiles_binned
+
+        min_t, center, hit, depth_r, nodes_n, overflow = trace_tiles_binned(
+            tiles, scene, cfg, root, templates
+        )
+        return TraceResult(
+            min_t=min_t,
+            center=center,
+            hit=hit,
+            max_depth_reached=depth_r,
+            nodes_visited=nodes_n,
+            overflow=overflow,
+        )
+
     if cfg.algorithm == "pallas":
         from sphereflake_tpu.ops.pallas_traversal import (
             resolve_codes,
