@@ -337,13 +337,34 @@ def trace_pairs_pallas(
     cfg: RenderConfig,
     interpret: bool = False,
 ):
-    """Per-tile ray tests against binned segments. Returns
-    (min_t [T, 1024], code [T, 1024], metrics [T, 1, 4])."""
+    """Per-tile ray tests against binned segments (AoS dirs wrapper).
+    Returns (min_t [T, 1024], code [T, 1024], metrics [T, 1, 4])."""
     T, rays, _ = tile_dirs.shape
     assert rays == 1024
+    dirs_k = jnp.moveaxis(tile_dirs, 2, 1).reshape(T, 3, 8, _LANES)
+    out, metrics = trace_pairs_pallas_soa(
+        dirs_k, pairs, starts, lens, cfg, interpret=interpret
+    )
+    return (
+        out[:, 0].reshape(T, rays),
+        out[:, 1].reshape(T, rays),
+        metrics,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "interpret"))
+def trace_pairs_pallas_soa(
+    dirs_k: Array,  # [T, 3, 8, 128] lane-major
+    pairs: Array,  # [8, PAIR_CAP]
+    starts: Array,  # [T] int32
+    lens: Array,  # [T] int32
+    cfg: RenderConfig,
+    interpret: bool = False,
+):
+    """SoA core: returns (out [T, 2, 8, 128], metrics [T, 1, 4])."""
+    T = dirs_k.shape[0]
     sg = jax.lax.stop_gradient
-    tile_dirs, pairs = sg((tile_dirs, pairs))
-    dirs_t = jnp.moveaxis(tile_dirs, 2, 1).reshape(T, 3, 8, _LANES)
+    dirs_t, pairs = sg((dirs_k, pairs))
     # Pad so the last window's DMA never reads out of bounds.
     pairs_pad = jnp.concatenate(
         [pairs, jnp.zeros((8, SEG_WIN + _LANES), pairs.dtype)], axis=1
@@ -386,11 +407,21 @@ def trace_pairs_pallas(
         ),
         interpret=interpret,
     )(starts, lens, dirs_t, pairs_pad)
-    return (
-        out[:, 0].reshape(T, rays),
-        out[:, 1].reshape(T, rays),
-        metrics,
-    )
+    return out, metrics
+
+
+def binned_pairs(scene, cfg: RenderConfig, root: Array, templates: Array):
+    """Global expansion + binning: (pairs, starts, lens, aux metrics)."""
+    from sphereflake_tpu.camera import tile_frustum_planes
+
+    frame_planes = tile_frustum_planes(
+        scene.camera, cfg.width, cfg.height,
+        cfg.padded_height, cfg.padded_width,
+        block_h=cfg.padded_height, block_w=cfg.padded_width,
+    )[0]  # one "tile" = the whole frame
+    nodes = expand_global(root, templates, scene.fractal, cfg, frame_planes)
+    minv = corner_basis(scene.camera, cfg.width, cfg.height)
+    return bin_nodes(nodes, minv, cfg)
 
 
 def trace_tiles_binned(

@@ -399,25 +399,49 @@ def trace_tiles_pallas(
     cfg: RenderConfig,
     interpret: bool = False,
 ):
-    """Trace all tiles with the fused kernel.
+    """Trace all tiles with the fused kernel (AoS dirs wrapper).
 
     Returns (min_t [T, 1024], code [T, 1024], metrics [T, 1, 8] int32).
     code is the sentinel-prefixed base-9 path code (0 at miss).
     Non-differentiable by construction (inputs are stop-gradiented);
     gradients flow through `resolve_codes` instead.
     """
-    assert cfg.max_depth <= PALLAS_MAX_DEPTH, (
-        f"pallas path supports max_depth <= {PALLAS_MAX_DEPTH} "
-        "(f32 path-code exactness); use an XLA algorithm for deeper"
-    )
     T, rays, _ = tile_dirs.shape
     assert rays == TILE_RAYS, (
         f"pallas path requires {TILE_RAYS}-ray tiles (one [8,128] vreg "
         f"per tile), got {rays}; pick tile_h*tile_w == {TILE_RAYS}"
     )
+    # Lane-major ray layout: [T, 3, 8, 128] — zero DMA padding waste.
+    dirs_k = jnp.moveaxis(tile_dirs, 2, 1).reshape(T, 3, 8, _LANES)
+    out, metrics = trace_tiles_pallas_soa(
+        dirs_k, tile_planes, root, templates, fractal, cfg,
+        interpret=interpret,
+    )
+    min_t = out[:, 0].reshape(T, TILE_RAYS)
+    code = out[:, 1].reshape(T, TILE_RAYS)
+    return min_t, code, metrics
+
+
+@partial(jax.jit, static_argnames=("cfg", "interpret"))
+def trace_tiles_pallas_soa(
+    dirs_k: Array,  # [T, 3, 8, 128] lane-major unit ray dirs per tile
+    tile_planes: Array,  # [T, 4, 3] inward unit frustum plane normals
+    root: Array,  # [3, 4]
+    templates: Array,  # [9, 3, 4]
+    fractal: FractalParams,
+    cfg: RenderConfig,
+    interpret: bool = False,
+):
+    """SoA core of `trace_tiles_pallas`: returns (out [T, 2, 8, 128],
+    metrics [T, 1, 8])."""
+    assert cfg.max_depth <= PALLAS_MAX_DEPTH, (
+        f"pallas path supports max_depth <= {PALLAS_MAX_DEPTH} "
+        "(f32 path-code exactness); use an XLA algorithm for deeper"
+    )
+    T = dirs_k.shape[0]
     sg = jax.lax.stop_gradient
-    tile_dirs, tile_planes, root, templates, fractal = sg(
-        (tile_dirs, tile_planes, root, templates, fractal)
+    dirs_k, tile_planes, root, templates, fractal = sg(
+        (dirs_k, tile_planes, root, templates, fractal)
     )
     depth = cfg.max_depth
     caps = level_caps(cfg)
@@ -439,8 +463,6 @@ def trace_tiles_pallas(
     )
     panel0 = _initial_panel(root, caps[0])
     planes_flat = tile_planes.reshape(T, 1, 12)
-    # Lane-major ray layout: [T, 3, 8, 128] — zero DMA padding waste.
-    dirs_t = jnp.moveaxis(tile_dirs, 2, 1).reshape(T, 3, 8, _LANES)
 
     kernel, qtot, capmax = make_trace_kernel(cfg)
     n_expand = max(depth, 1)
@@ -495,22 +517,22 @@ def trace_tiles_pallas(
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(level_tab, planes_flat, dirs_t, panel0, expand)
-    min_t = out[:, 0].reshape(T, TILE_RAYS)
-    code = out[:, 1].reshape(T, TILE_RAYS)
-    return min_t, code, metrics
+    )(level_tab, planes_flat, dirs_k, panel0, expand)
+    return out, metrics
 
 
-def resolve_codes(
-    dirs: Array,  # [..., 3] unit ray directions
-    code_f: Array,  # [...] f32 sentinel path codes from the kernel
+def resolve_codes_soa(
+    dx: Array,  # [N] unit ray direction components
+    dy: Array,
+    dz: Array,
+    code_f: Array,  # [N] f32 sentinel path codes from the kernel
     root: Array,  # [3, 4]
     templates: Array,  # [9, 3, 4]
     fractal: FractalParams,
     cfg: RenderConfig,
 ):
     """Differentiably re-derive each ray's winning sphere from its path
-    code: (min_t, center [..., 3], hit [...]).
+    code, fully SoA: returns (min_t, cx, cy, cz, hit), each [N].
 
     This is the straight-through backward surface (SURVEY §7 stage 5):
     the *discrete* winner choice comes from the kernel (stop-gradient by
@@ -519,9 +541,7 @@ def resolve_codes(
     recomputed in XLA, so `jax.grad` flows into camera pose, fractal
     geometry and radii exactly as it does through the strict XLA path.
     """
-    shape = code_f.shape
     code = jax.lax.stop_gradient(code_f).astype(jnp.int32).reshape(-1)
-    flat_dirs = dirs.reshape(-1, 3)
     hit = code >= 1
 
     depth = cfg.max_depth
@@ -577,14 +597,33 @@ def resolve_codes(
 
     cx, cy, cz = t
     r_hit = radius0 * fractal.radius_ratio ** level.astype(jnp.float32)
-    tca = flat_dirs[:, 0] * cx + flat_dirs[:, 1] * cy + flat_dirs[:, 2] * cz
+    tca = dx * cx + dy * cy + dz * cz
     d2 = cx * cx + cy * cy + cz * cz - tca * tca
     from sphereflake_tpu.ops.intersect import safe_sqrt
 
     tt = tca - safe_sqrt(r_hit * r_hit - d2)
     min_t = jnp.where(hit, tt, _BIG)
     hf = hit.astype(jnp.float32)
-    center = jnp.stack([cx * hf, cy * hf, cz * hf], axis=-1)
+    return min_t, cx * hf, cy * hf, cz * hf, hit
+
+
+def resolve_codes(
+    dirs: Array,  # [..., 3] unit ray directions
+    code_f: Array,  # [...] f32 sentinel path codes from the kernel
+    root: Array,
+    templates: Array,
+    fractal: FractalParams,
+    cfg: RenderConfig,
+):
+    """AoS wrapper over `resolve_codes_soa`:
+    (min_t [...], center [..., 3], hit [...])."""
+    shape = code_f.shape
+    flat = dirs.reshape(-1, 3)
+    min_t, cx, cy, cz, hit = resolve_codes_soa(
+        flat[:, 0], flat[:, 1], flat[:, 2], code_f.reshape(-1),
+        root, templates, fractal, cfg,
+    )
+    center = jnp.stack([cx, cy, cz], axis=-1)
     return (
         min_t.reshape(shape),
         center.reshape(*shape, 3),

@@ -169,9 +169,119 @@ def trace_tiles(
     )
 
 
+def _render_gbuffer_soa(scene: SceneParams, cfg: RenderConfig) -> GBuffer:
+    """SoA pipeline for the Pallas production paths.
+
+    Every intermediate is an [N]- or [H, W]-shaped component array —
+    never [..., 3] — because XLA pads a trailing dim of 3 to the
+    128-lane vector tile (a 42x memory/VPU waste measured at ~40 ms per
+    1080p frame). The [H, W, 3] G-buffer planes materialize exactly
+    once, at the end.
+    """
+    import jax
+
+    from sphereflake_tpu.camera import corner_rays, tile_frustum_planes
+    from sphereflake_tpu.models.sphereflake import child_templates, root_frame
+    from sphereflake_tpu.ops.intersect import safe_sqrt
+    from sphereflake_tpu.ops.pallas_traversal import (
+        resolve_codes_soa,
+        trace_tiles_pallas_soa,
+    )
+
+    T = cfg.tiles_y * cfg.tiles_x
+    rays = cfg.tile_h * cfg.tile_w
+    origin, tl, tr, bl = corner_rays(scene.camera, cfg.width / cfg.height)
+    ex, ey = tr - tl, bl - tl
+    u = jnp.arange(cfg.padded_width, dtype=jnp.float32)[None, :] / cfg.width
+    v = jnp.arange(cfg.padded_height, dtype=jnp.float32)[:, None] / cfg.height
+    # Same association order as `camera.ray_directions` (target - origin)
+    # so the two dir computations agree to the last ulp.
+    comps = [(tl[a] + (ex[a] * u + ey[a] * v)) - origin[a] for a in range(3)]
+    # Matches `transforms.normalize` (exact math, eps 0).
+    dnorm = jnp.sqrt(comps[0] ** 2 + comps[1] ** 2 + comps[2] ** 2)
+    tiled = [_tile(c / dnorm, cfg) for c in comps]  # [T, R] each
+    dirs_k = jnp.stack([t.reshape(T, 8, 128) for t in tiled], axis=1)
+
+    root = root_frame(scene.camera.position)
+    templates = child_templates(scene.fractal)
+    interpret = jax.default_backend() != "tpu"
+
+    if cfg.algorithm == "pallas":
+        planes = tile_frustum_planes(
+            scene.camera, cfg.width, cfg.height, cfg.tile_h, cfg.tile_w,
+            block_h=cfg.padded_height, block_w=cfg.padded_width,
+        )
+        out, m = trace_tiles_pallas_soa(
+            dirs_k, planes, root, templates, scene.fractal, cfg,
+            interpret=interpret,
+        )
+        nodes_n = jnp.sum(m[:, 0, 0])
+        overflow = jnp.sum(m[:, 0, 1])
+        depth_r = jnp.max(m[:, 0, 2])
+    else:  # binned
+        from sphereflake_tpu.ops.binned import (
+            binned_pairs,
+            trace_pairs_pallas_soa,
+        )
+
+        pairs, starts, lens, (_n_pairs, pair_ovf) = binned_pairs(
+            scene, cfg, root, templates
+        )
+        out, m = trace_pairs_pallas_soa(
+            dirs_k, pairs, starts, lens, cfg, interpret=interpret
+        )
+        nodes_n = jnp.sum(m[:, 0, 0])
+        overflow = jnp.sum(m[:, 0, 1]) + pair_ovf
+        max_code = jnp.max(out[:, 1]).astype(jnp.int32)
+        depth_r = jnp.zeros((), jnp.int32)
+        for k in range(1, cfg.max_depth + 1):
+            depth_r = depth_r + (max_code >= 9**k).astype(jnp.int32)
+
+    code = out[:, 1].reshape(-1)
+    dx, dy, dz = (t.reshape(-1) for t in tiled)
+    min_t, cx, cy, cz, hit = resolve_codes_soa(
+        dx, dy, dz, code, root, templates, scene.fractal, cfg
+    )
+    # Shading, SoA (same math as `ops.traversal.shade_gbuffer`).
+    t0 = jnp.where(hit, min_t, 0.0)
+    px, py, pz = dx * t0, dy * t0, dz * t0
+    wx, wy, wz = px - cx, py - cy, pz - cz
+    nn = safe_sqrt(wx * wx + wy * wy + wz * wz)
+    nn = jnp.where(nn > 0, nn, 1.0)
+    nx = jnp.where(hit, wx / nn, 0.0)
+    ny = jnp.where(hit, wy / nn, 0.0)
+    nz = jnp.where(hit, wz / nn, 0.0)
+    pxm = jnp.where(hit, px, 0.0)
+    pym = jnp.where(hit, py, 0.0)
+    pzm = jnp.where(hit, pz, 0.0)
+
+    def img(flat):
+        return _untile(flat.reshape(T, rays), cfg)
+
+    min_t_img = img(min_t)
+    hit_img = img(hit)
+    metrics = RenderMetrics(
+        max_depth_reached=depth_r,
+        nodes_visited=nodes_n,
+        overflow=overflow,
+        closest_distance=jnp.min(jnp.where(hit_img, min_t_img, _BIG)),
+        rays_traced=jnp.int32(cfg.width * cfg.height),
+    )
+    return GBuffer(
+        position=jnp.stack([img(pxm), img(pym), img(pzm)], axis=-1),
+        normal=jnp.stack([img(nx), img(ny), img(nz)], axis=-1),
+        min_t=min_t_img,
+        hit=hit_img,
+        metrics=metrics,
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def render_gbuffer(scene: SceneParams, cfg: RenderConfig) -> GBuffer:
     """Render the full-frame G-buffer for `scene` (pure, differentiable)."""
+    if cfg.algorithm in ("pallas", "binned"):
+        return _render_gbuffer_soa(scene, cfg)
+
     from sphereflake_tpu.camera import tile_frustum_planes
 
     # Ray math uses the ORIGINAL width/height for the NDC mapping; the
