@@ -75,6 +75,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume fit/progressive state from a checkpoint NPZ")
     p.add_argument("--profile", type=str, default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the timed frames")
+    # camera-path animation (the reference's navigation, main.cpp:206-257)
+    p.add_argument("--animate", type=int, default=0, metavar="FRAMES",
+                   help="render a camera-path frame sequence")
+    p.add_argument("--animate-mode", choices=("orbit", "approach"),
+                   default="orbit")
+    p.add_argument("--speed-factor", type=float, default=0.05,
+                   help="approach step as a fraction of the closest-sphere "
+                   "distance (the reference's speed law, main.cpp:213)")
     return p
 
 
@@ -142,6 +150,29 @@ def main(argv=None) -> int:
         f"lod={cfg.lod_factor} tiles={cfg.tiles_y}x{cfg.tiles_x} "
         f"device={jax.devices()[0].platform}"
     )
+
+    if args.animate:
+        import os
+
+        from sphereflake_tpu.runtime.animate import animate
+
+        stem, ext = os.path.splitext(args.output)
+        ext = ext or ".png"
+        t0 = time.perf_counter()
+        for i, (image, _) in enumerate(
+            animate(
+                scene, cfg, args.animate, mode=args.animate_mode,
+                speed_factor=args.speed_factor,
+                composite=args.mode == "composite",
+            )
+        ):
+            write_png(f"{stem}_{i:04d}{ext}", image)
+        dt = time.perf_counter() - t0
+        print(
+            f"animate: {args.animate} frames ({args.animate_mode}) in "
+            f"{dt:.1f}s -> {stem}_0000{ext}..{stem}_{args.animate - 1:04d}{ext}"
+        )
+        return 0
 
     if args.fit:
         import optax

@@ -1,0 +1,106 @@
+"""Camera-path animation — the headless analogue of the reference's
+interactive navigation.
+
+The reference's main loop translates the camera with WASDQE at a speed
+proportional to the closest-sphere distance (`main.cpp:206-257`, speed
+law at `main.cpp:213`) and yaw/pitches with the mouse — the classic
+"fractal zoom" interaction: the closer you get, the slower you move,
+and the LOD cut keeps revealing deeper levels. Headless rendering keeps
+the same capabilities as frame-sequence drivers:
+
+- **approach**: fly the camera along its forward axis, each frame
+  advancing `speed_factor * closest_sphere_distance` (the reference's
+  exact speed law, fed by the same metric, `Sphereflake.h:55-58`) —
+  a Zeno dive that exercises the adaptive depth.
+- **orbit**: a turntable around the fractal at constant radius, always
+  looking at the origin.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator
+
+import jax.numpy as jnp
+import numpy as np
+
+from sphereflake_tpu.config import RenderConfig, SceneParams
+
+
+def _look_at_origin(position):
+    """Yaw/pitch that aim the camera's -Z forward axis at the origin.
+
+    The camera rotation is R = Rz(roll) @ Ry(yaw) @ Rx(pitch) applied to
+    (0, 0, -1) (`camera.h:65-68` GLM eulerAngleZYX convention as
+    implemented by `transforms.look_rotation`); solving forward =
+    -position/|position| gives pitch = asin(fz), yaw = atan2(-fx, -fz)
+    for forward f."""
+    f = -position / jnp.linalg.norm(position)
+    pitch = jnp.arcsin(jnp.clip(f[1], -1.0, 1.0))
+    yaw = jnp.arctan2(-f[0], -f[2])
+    return yaw, pitch
+
+
+def camera_forward(cam):
+    """The camera's forward axis (the -Z column of its rotation)."""
+    from sphereflake_tpu.ops.transforms import look_rotation
+
+    rot = look_rotation(cam.yaw, cam.pitch, cam.roll)
+    return rot @ jnp.asarray([0.0, 0.0, -1.0], jnp.float32)
+
+
+def animate(
+    scene: SceneParams,
+    cfg: RenderConfig,
+    n_frames: int,
+    mode: str = "orbit",
+    speed_factor: float = 0.05,
+    composite: bool = True,
+) -> Iterator[tuple[np.ndarray, SceneParams]]:
+    """Yield (image [H, W, 3] float, scene-at-frame) per frame."""
+    from sphereflake_tpu.render import render_frame, render_gbuffer
+
+    cam0 = scene.camera
+    radius = float(jnp.linalg.norm(cam0.position))
+    for i in range(n_frames):
+        if mode == "orbit":
+            angle = 2.0 * np.pi * i / max(n_frames, 1)
+            base = cam0.position
+            # Rotate the start position about the world Y axis.
+            c, s = np.cos(angle), np.sin(angle)
+            pos = jnp.asarray(
+                [
+                    c * base[0] + s * base[2],
+                    base[1],
+                    -s * base[0] + c * base[2],
+                ],
+                jnp.float32,
+            )
+            pos = pos * (radius / jnp.linalg.norm(pos))
+            yaw, pitch = _look_at_origin(pos)
+            cam = dataclasses.replace(
+                cam0, position=pos, yaw=yaw, pitch=pitch
+            )
+            scene = dataclasses.replace(scene, camera=cam)
+        elif mode != "approach":
+            raise ValueError(f"unknown animation mode {mode!r}")
+
+        if composite:
+            image, gb = render_frame(scene, cfg)
+        else:
+            gb = render_gbuffer(scene, cfg)
+            from sphereflake_tpu.utils.image import shade_normals
+
+            image = shade_normals(np.asarray(gb.normal), np.asarray(gb.hit))
+        yield np.asarray(image), scene
+
+        if mode == "approach":
+            # The reference's speed law: step ∝ closest sphere distance
+            # (`main.cpp:213`), so the dive decelerates forever while
+            # the LOD cut exposes ever-deeper levels.
+            step = speed_factor * float(gb.metrics.closest_distance)
+            fwd = camera_forward(scene.camera)
+            cam = dataclasses.replace(
+                scene.camera, position=scene.camera.position + step * fwd
+            )
+            scene = dataclasses.replace(scene, camera=cam)

@@ -77,3 +77,23 @@ def test_progressive_checkpoint_resume(tmp_path, capsys):
         if l.startswith("progressive:")
     ]
     assert counts == [3072, 5120]  # resumed run continues the cursor
+
+
+def test_animate_orbit_and_approach(tmp_path):
+    out = tmp_path / "anim.png"
+    rc = main(_common(
+        "--animate", "3", "--animate-mode", "orbit", "--mode", "normals",
+        "--output", str(out),
+    ))
+    assert rc == 0
+    frames = sorted(tmp_path.glob("anim_*.png"))
+    assert len(frames) == 3
+    # Orbit frames must actually differ (the camera moved).
+    assert frames[0].read_bytes() != frames[1].read_bytes()
+
+    rc = main(_common(
+        "--animate", "2", "--animate-mode", "approach", "--mode", "normals",
+        "--output", str(tmp_path / "dive.png"),
+    ))
+    assert rc == 0
+    assert len(sorted(tmp_path.glob("dive_*.png"))) == 2
