@@ -354,11 +354,17 @@ def shade_gbuffer(dirs: Array, res: TraceResult):
 
 
 def tile_tracer(cfg: RenderConfig):
-    """Select the traversal implementation for `cfg.algorithm`."""
+    """Select the XLA traversal implementation for `cfg.algorithm`."""
     if cfg.algorithm == "fast":
         return trace_tile_fast
     if cfg.algorithm in ("strict", "loose"):
         return trace_tile
+    if cfg.algorithm in ("pallas", "binned"):
+        raise ValueError(
+            f"algorithm {cfg.algorithm!r} is a Pallas kernel path; it is "
+            "dispatched by render.trace_tiles / render_gbuffer and the "
+            "progressive runtime, not by the per-tile XLA tracer"
+        )
     raise ValueError(f"unknown algorithm {cfg.algorithm!r}")
 
 
