@@ -1,8 +1,18 @@
-"""Perf sweep: tile shape x frontier cap at 1080p depth-6 (dev tool)."""
+"""Perf sweep over algorithm / tile / frontier configs (dev tool).
+
+Timing is latency-amortized (the axon tunnel adds ~27ms per synchronous
+dispatch+fetch): K frames dispatch back-to-back with perturbed inputs,
+one reduced scalar fetch at the end, and the 1-frame time subtracts out.
+
+Usage: python tools/sweep.py [algorithm ...]   (default: pallas binned)
+"""
 import sys
 import time
+import dataclasses
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 
 from sphereflake_tpu.config import RenderConfig, default_scene
 from sphereflake_tpu.render import render_gbuffer
@@ -10,45 +20,40 @@ from sphereflake_tpu.render import render_gbuffer
 scene = default_scene()
 
 
-def perturbed(i):
-    import dataclasses
-    cam = dataclasses.replace(scene.camera, yaw=scene.camera.yaw + 1e-6 * i)
-    return dataclasses.replace(scene, camera=cam)
-
-
-def run(tile_h, tile_w, cap, batch, depth=6, w=1920, h=1080, frames=3):
+def run(algorithm, cap, depth=6, w=1920, h=1080, frames=8):
     cfg = RenderConfig(
-        width=w, height=h, max_depth=depth, tile_h=tile_h, tile_w=tile_w,
-        max_frontier=cap, tile_batch=batch,
+        width=w, height=h, max_depth=depth, tile_h=32, tile_w=32,
+        max_frontier=cap, algorithm=algorithm,
     )
+
+    def frame(i):
+        cam = dataclasses.replace(scene.camera, yaw=scene.camera.yaw + 1e-7 * i)
+        return render_gbuffer(dataclasses.replace(scene, camera=cam), cfg)
+
     t0 = time.perf_counter()
-    gb = render_gbuffer(scene, cfg)
-    jax.block_until_ready(gb.min_t)
+    gb = frame(0)
+    _ = float(np.asarray(jnp.sum(gb.min_t)))
     compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for i in range(frames):
-        gb = render_gbuffer(perturbed(i + 1), cfg)
-        jax.block_until_ready(gb.min_t)
-    dt = (time.perf_counter() - t0) / frames
-    rays = w * h / dt
-    m = gb.metrics
+
+    def loop(k):
+        t0 = time.perf_counter()
+        outs = [frame(1 + i).min_t[0, 0] for i in range(k)]
+        _ = float(np.asarray(jnp.stack(outs).sum()))
+        return time.perf_counter() - t0
+
+    loop(2)
+    t1 = loop(1)
+    tk = loop(frames + 1)
+    dt = (tk - t1) / frames
     print(
-        f"tile {tile_h:4d}x{tile_w:4d} cap {cap:5d} batch {batch:3d}: "
-        f"{dt*1e3:8.1f} ms/frame {rays/1e6:8.1f} M rays/s "
-        f"depth={int(m.max_depth_reached)} overflow={int(m.overflow)} "
-        f"nodes={int(m.nodes_visited)} (compile {compile_s:.0f}s)",
+        f"{algorithm:8s} cap={cap:5d} depth={depth}: {dt * 1e3:8.2f} ms/frame "
+        f"({w * h / dt / 1e6:7.1f}M rays/s, compile {compile_s:.0f}s, "
+        f"overflow={int(gb.metrics.overflow)})",
         flush=True,
     )
 
 
 if __name__ == "__main__":
-    for args in [
-        # (tile_h, tile_w, cap, batch)
-        (120, 128, 1024, 27),   # current bench config
-        (40, 64, 1024, 27),
-        (40, 64, 512, 54),
-        (24, 32, 512, 100),
-        (24, 32, 256, 100),
-        (8, 128, 512, 54),
-    ]:
-        run(*args)
+    algs = sys.argv[1:] or ["pallas", "binned"]
+    for alg in algs:
+        run(alg, 1024)
