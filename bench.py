@@ -51,7 +51,7 @@ def main() -> int:
         tile_h=32,
         tile_w=32,
         max_frontier=1024,
-        algorithm="pallas" if dev.platform != "cpu" else "fast",
+        algorithm="binned" if dev.platform != "cpu" else "fast",
         strict_lod=True,
     )
     scene = default_scene()

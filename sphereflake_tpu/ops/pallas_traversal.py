@@ -303,16 +303,14 @@ def make_trace_kernel(cfg: RenderConfig):
                         keep & (gdst - obase == col), 1.0, 0.0
                     )
                     # packed += children @ sel^T — contraction over the
-                    # 1152 child lanes. One-hot 0/1 weights make this
-                    # EXACT at 3-pass bf16 precision: each output lane
-                    # receives a single f32 addend whose bf16x3 split
-                    # recombines exactly, so HIGH halves the MXU passes
-                    # of HIGHEST for free.
+                    # 1152 child lanes. One-hot 0/1 weights keep this
+                    # exact: each output lane receives a single f32
+                    # addend. (Mosaic lowers only DEFAULT/HIGHEST.)
                     nxt[:, pl.ds(obase, _LANES)] += jax.lax.dot_general(
                         children[:, :],
                         sel[:, :],
                         (((1,), (1,)), ((), ())),
-                        precision=jax.lax.Precision.HIGH,
+                        precision=jax.lax.Precision.HIGHEST,
                     )
                     return 0
 
