@@ -29,13 +29,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lod", type=float, default=70.0, help="LOD factor (ref: 70 AVX / 60 SSE)")
     p.add_argument(
         "--algorithm",
-        choices=("auto", "pallas", "fast", "strict", "loose"),
+        choices=("auto", "binned", "pallas", "fast", "strict", "loose"),
         default="auto",
-        help="traversal implementation; auto = the Pallas production "
-        "kernel on TPU, the XLA fast path elsewhere",
+        help="traversal implementation; auto = the binned production "
+        "path (global expansion + screen binning + Pallas ray kernel) "
+        "on TPU, the XLA fast path elsewhere",
     )
     p.add_argument("--tile", type=str, default=None,
-                   help="tile HxW (default: 32x32 for pallas, 64x128 otherwise)")
+                   help="tile HxW (default: 32x32 for binned/pallas, "
+                   "64x128 otherwise)")
     p.add_argument("--max-frontier", type=int, default=1024)
     p.add_argument("--tile-batch", type=int, default=16)
     p.add_argument("--output", "-o", type=str, default="sphereflake.png")
@@ -112,8 +114,15 @@ def main(argv=None) -> int:
 
     algorithm = args.algorithm
     if algorithm == "auto":
-        algorithm = "pallas" if jax.default_backend() == "tpu" else "fast"
-    tile = args.tile or ("32x32" if algorithm == "pallas" else "64x128")
+        # The one executable always runs its fastest code (the
+        # reference compiles-in AVX the same way, main.cpp:62-68):
+        # binned is the benched production path on TPU. Progressive
+        # steps trace scattered Sobol bundles, whose spans the binned
+        # kernel also handles (windowed segments).
+        algorithm = "binned" if jax.default_backend() == "tpu" else "fast"
+    tile = args.tile or (
+        "32x32" if algorithm in ("pallas", "binned") else "64x128"
+    )
     tile_h, tile_w = (int(v) for v in tile.split("x"))
     try:
         cfg = RenderConfig(

@@ -151,18 +151,29 @@ def corner_basis(cam, width: int, height: int):
     return minv
 
 
-def bin_nodes(nodes, minv, cfg: RenderConfig):
+def bin_nodes(nodes, minv, cfg: RenderConfig, frame=None):
     """Conservative (node, tile) pairing + one sort into tile segments.
+
+    `frame` = (frame_w, frame_h, x_off, y_off) describes the full image
+    this cfg's block is cut from (sharded rendering: each device bins
+    into its own block's tiles, offset by (x_off, y_off) pixels within
+    the frame whose corner-ray basis `minv` was built from). Defaults
+    to the unsharded identity (cfg.width, cfg.height, 0, 0).
 
     Returns (pairs [8, PAIR_CAP], starts [T], lens [T], n_pairs,
     pair_overflow)."""
     tw, th = cfg.tile_w, cfg.tile_h
     tx_n, ty_n = cfg.tiles_x, cfg.tiles_y
     n_tiles = tx_n * ty_n
-    w, h = cfg.padded_width, cfg.padded_height
-    # NDC scale: uv in [0,1] maps pixel x = u*width (original dims).
-    sx = cfg.width / tw
-    sy = cfg.height / th
+    frame_w, frame_h, x_off, y_off = (
+        frame if frame is not None else (cfg.width, cfg.height, 0.0, 0.0)
+    )
+    # NDC scale: uv' of 1.0 = frame_w pixels (original dims); the block
+    # offset shifts pixel coords into block-local tile units.
+    sx = frame_w / tw
+    sy = frame_h / th
+    ox = x_off / tw
+    oy = y_off / th
 
     c = [nodes["cx"], nodes["cy"], nodes["cz"]]
     rad = nodes["rad"]
@@ -194,12 +205,11 @@ def bin_nodes(nodes, minv, cfg: RenderConfig):
     v_lo, v_hi = ratio_bounds(s[1], ds[1])
 
     # Tile ranges (conservative; behind-camera nodes take everything).
-    # Tiles are indexed over the padded grid; uv' of 1.0 = original
-    # width/height, so the scale converts uv' -> tile units directly.
-    tx0 = jnp.clip(jnp.floor(u_lo * sx).astype(jnp.int32), 0, tx_n - 1)
-    tx1 = jnp.clip(jnp.floor(u_hi * sx).astype(jnp.int32), 0, tx_n - 1)
-    ty0 = jnp.clip(jnp.floor(v_lo * sy).astype(jnp.int32), 0, ty_n - 1)
-    ty1 = jnp.clip(jnp.floor(v_hi * sy).astype(jnp.int32), 0, ty_n - 1)
+    # Tiles are indexed over this block's padded grid.
+    tx0 = jnp.clip(jnp.floor(u_lo * sx - ox).astype(jnp.int32), 0, tx_n - 1)
+    tx1 = jnp.clip(jnp.floor(u_hi * sx - ox).astype(jnp.int32), 0, tx_n - 1)
+    ty0 = jnp.clip(jnp.floor(v_lo * sy - oy).astype(jnp.int32), 0, ty_n - 1)
+    ty1 = jnp.clip(jnp.floor(v_hi * sy - oy).astype(jnp.int32), 0, ty_n - 1)
     tx0 = jnp.where(front, tx0, 0)
     ty0 = jnp.where(front, ty0, 0)
     tx1 = jnp.where(front, tx1, tx_n - 1)
@@ -410,18 +420,27 @@ def trace_pairs_pallas_soa(
     return out, metrics
 
 
-def binned_pairs(scene, cfg: RenderConfig, root: Array, templates: Array):
-    """Global expansion + binning: (pairs, starts, lens, aux metrics)."""
+def binned_pairs(
+    scene, cfg: RenderConfig, root: Array, templates: Array, frame=None
+):
+    """Global expansion + binning: (pairs, starts, lens, aux metrics).
+
+    `frame` = (frame_w, frame_h, x_off, y_off) when cfg describes one
+    device's block of a larger sharded frame (see `bin_nodes`)."""
     from sphereflake_tpu.camera import tile_frustum_planes
 
-    frame_planes = tile_frustum_planes(
-        scene.camera, cfg.width, cfg.height,
+    frame_w, frame_h, x_off, y_off = (
+        frame if frame is not None else (cfg.width, cfg.height, 0.0, 0.0)
+    )
+    block_planes = tile_frustum_planes(
+        scene.camera, frame_w, frame_h,
         cfg.padded_height, cfg.padded_width,
+        x_off=x_off, y_off=y_off,
         block_h=cfg.padded_height, block_w=cfg.padded_width,
-    )[0]  # one "tile" = the whole frame
-    nodes = expand_global(root, templates, scene.fractal, cfg, frame_planes)
-    minv = corner_basis(scene.camera, cfg.width, cfg.height)
-    return bin_nodes(nodes, minv, cfg)
+    )[0]  # one "tile" = this device's whole block
+    nodes = expand_global(root, templates, scene.fractal, cfg, block_planes)
+    minv = corner_basis(scene.camera, frame_w, frame_h)
+    return bin_nodes(nodes, minv, cfg, frame=frame)
 
 
 def trace_tiles_binned(
@@ -430,20 +449,13 @@ def trace_tiles_binned(
     cfg: RenderConfig,
     root: Array,
     templates: Array,
+    frame=None,  # (frame_w, frame_h, x_off, y_off) for sharded blocks
 ):
     """Full binned pipeline -> TraceResult-compatible tuple."""
-    from sphereflake_tpu.camera import tile_frustum_planes
     from sphereflake_tpu.ops.pallas_traversal import resolve_codes
 
-    frame_planes = tile_frustum_planes(
-        scene.camera, cfg.width, cfg.height,
-        cfg.padded_height, cfg.padded_width,
-        block_h=cfg.padded_height, block_w=cfg.padded_width,
-    )[0]  # one "tile" = the whole frame
-    nodes = expand_global(root, templates, scene.fractal, cfg, frame_planes)
-    minv = corner_basis(scene.camera, cfg.width, cfg.height)
-    pairs, starts, lens, (n_pairs, pair_overflow) = bin_nodes(
-        nodes, minv, cfg
+    pairs, starts, lens, (n_pairs, pair_overflow) = binned_pairs(
+        scene, cfg, root, templates, frame=frame
     )
     interpret = jax.default_backend() != "tpu"
     min_t_k, code, m = trace_pairs_pallas(

@@ -157,12 +157,8 @@ def _cumsum_lanes(x, n: int):
     return x
 
 
-_DEBUG_PHASES = frozenset({"expand", "dma", "ray"})  # timing diagnostics only
-
-
 def make_trace_kernel(cfg: RenderConfig):
     """Build the pallas kernel body for one 1024-ray tile per step."""
-    phases = _DEBUG_PHASES
     depth = cfg.max_depth
     caps = level_caps(cfg)
     capmax = max(caps)
@@ -318,8 +314,7 @@ def make_trace_kernel(cfg: RenderConfig):
                 return total + count
 
             total = jax.lax.fori_loop(
-                0, n_chunks if "expand" in phases else 0,
-                chunk_body, jnp.int32(0), unroll=False,
+                0, n_chunks, chunk_body, jnp.int32(0), unroll=False,
             )
             live = jnp.minimum(total, cap_n)
             overflow = overflow + jnp.maximum(total - cap_n, 0)
@@ -330,8 +325,7 @@ def make_trace_kernel(cfg: RenderConfig):
             nxt[_ONE:_ONE + 1, :cap_n] = jnp.ones((1, cap_n), jnp.float32)
 
         # ---- phase 1.5: queue to SMEM for scalar-driven ray tests ----
-        if "dma" in phases:
-            pltpu.make_async_copy(queue_v, queue_s, sem).start()
+        pltpu.make_async_copy(queue_v, queue_s, sem).start()
 
         mout_ref[0, 0, 0] = qlen_total
         mout_ref[0, 0, 1] = overflow
@@ -340,8 +334,7 @@ def make_trace_kernel(cfg: RenderConfig):
         for k in range(4, 8):
             mout_ref[0, 0, k] = jnp.int32(0)
 
-        if "dma" in phases:
-            pltpu.make_async_copy(queue_v, queue_s, sem).wait()
+        pltpu.make_async_copy(queue_v, queue_s, sem).wait()
 
         # ---- phase 2: per-ray tests over exactly the live candidates ----
         bt = jnp.full((8, _LANES), _BIG, jnp.float32)
@@ -377,8 +370,7 @@ def make_trace_kernel(cfg: RenderConfig):
                 )
 
             bt, bc = jax.lax.fori_loop(
-                0, livec_ref[level] if "ray" in phases else 0,
-                node_body, (bt, bc), unroll=False,
+                0, livec_ref[level], node_body, (bt, bc), unroll=False,
             )
 
         out_ref[0, 0] = bt

@@ -76,7 +76,14 @@ def _render_block(scene: SceneParams, cfg: RenderConfig, bcfg: RenderConfig):
         block_h=bcfg.padded_height, block_w=bcfg.padded_width,
     )
 
-    res = trace_tiles(tiles, planes, scene, bcfg)
+    # The binned path bins nodes into block-local tiles: it needs the
+    # full-frame dims (the corner-ray basis is global) and this block's
+    # pixel offset (VERDICT r2: block configs anchored at (0, 0) binned
+    # every non-origin block wrong).
+    res = trace_tiles(
+        tiles, planes, scene, bcfg,
+        frame=(cfg.width, cfg.height, x0, y0),
+    )
     pos_t, nrm_t = shade_gbuffer(tiles, res)
     return (
         _untile(pos_t, bcfg),

@@ -99,6 +99,7 @@ def trace_tiles(
     tile_planes: Array,  # [T, 4, 3] frustum planes (pallas path only)
     scene: SceneParams,
     cfg: RenderConfig,
+    frame=None,  # (frame_w, frame_h, x_off, y_off): sharded block origin
 ) -> TraceResult:
     """Trace a batch of ray tiles — the unified dispatch over all
     traversal implementations (`cfg.algorithm`), batched over tiles.
@@ -111,7 +112,7 @@ def trace_tiles(
         from sphereflake_tpu.ops.binned import trace_tiles_binned
 
         min_t, center, hit, depth_r, nodes_n, overflow = trace_tiles_binned(
-            tiles, scene, cfg, root, templates
+            tiles, scene, cfg, root, templates, frame=frame
         )
         return TraceResult(
             min_t=min_t,

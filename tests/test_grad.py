@@ -82,11 +82,18 @@ def test_pixel_gradients_match_central_differences(algorithm, param):
     xs, ys = pixel_grid(cfg.width, cfg.height)
     dirs = ray_directions(scene.camera, xs, ys, cfg.width, cfg.height)
     ndotd = np.abs(np.asarray(jnp.sum(gb0.normal * dirs, axis=-1)))
-    tp, tm, t0 = np.asarray(t_p), np.asarray(t_m), np.asarray(gb0.min_t)
+    # Zero the _BIG sky sentinels before any arithmetic: 3e38 + 3e38
+    # overflows f32 and the resulting RuntimeWarnings would mask real
+    # ones. The `stable` mask already requires hits at all three
+    # stencil points, so the zeros never enter the comparison.
+    hp, hm, h0 = np.asarray(hit_p), np.asarray(hit_m), np.asarray(gb0.hit)
+    tp = np.where(hp, np.asarray(t_p), 0.0)
+    tm = np.where(hm, np.asarray(t_m), 0.0)
+    t0 = np.where(h0, np.asarray(gb0.min_t), 0.0)
     stable = (
-        np.asarray(hit_p)
-        & np.asarray(hit_m)
-        & np.asarray(gb0.hit)
+        hp
+        & hm
+        & h0
         & (np.abs(tp - tm) < 0.05)
         # Second difference ~ eps^2 * t'' for a smooth t(theta); a large
         # value means the winner changed somewhere INSIDE the stencil

@@ -16,17 +16,19 @@ from sphereflake_tpu.ops.sobol import (
 from sphereflake_tpu.runtime import native
 from sphereflake_tpu.utils.image import encode_png_python
 
-pytestmark = pytest.mark.skipif(
+needs_native = pytest.mark.skipif(
     not native.available(), reason="native library not built"
 )
 
 
+@needs_native
 def test_native_direction_numbers_match_python():
     ours = direction_numbers()
     theirs = native.sobol_direction_numbers(NUM_DIMENSIONS)
     np.testing.assert_array_equal(ours, theirs)
 
 
+@needs_native
 def test_native_sobol_batch_matches_python():
     for base in (0, 1, 7, 1000, 2**33 - 5):
         got = native.sobol_sample_batch(base, 64, 1)
@@ -35,6 +37,7 @@ def test_native_sobol_batch_matches_python():
         np.testing.assert_allclose(got, want, atol=0)
 
 
+@needs_native
 def test_native_sobol_scrambled():
     scr = np.arange(32, dtype=np.uint32) * 2654435761
     got = native.sobol_sample_batch(5, 32, 0, scr)
@@ -44,6 +47,7 @@ def test_native_sobol_scrambled():
     np.testing.assert_allclose(got, want, atol=0)
 
 
+@needs_native
 def test_native_mt19937_matches_python():
     a = native.mt19937_draw(12512, 2000)
     b = MT19937(12512).draw(2000)
@@ -100,6 +104,7 @@ def _decode_png(data: bytes) -> np.ndarray:
     return out.reshape(h, w, 3)
 
 
+@needs_native
 def test_native_png_roundtrip():
     rng = np.random.default_rng(0)
     img = (rng.random((13, 17, 3)) * 255).astype(np.uint8)

@@ -101,6 +101,37 @@ def test_sharded_fit_step_gradients():
     )
 
 
+def test_sharded_render_binned_matches_single_device():
+    """The binned production path under shard_map: every device expands
+    globally but bins into its own block's tiles with the block's pixel
+    offset — output must match the single-device binned render."""
+    cfg = RenderConfig(
+        width=256, height=128, max_depth=3, tile_h=32, tile_w=32,
+        max_frontier=128, algorithm="binned",
+    )
+    scene = default_scene()
+    mesh = make_mesh(jax.devices()[:4], shape=(2, 2))
+    gb_s = render_gbuffer_sharded(scene, cfg, mesh)
+    gb_1 = render_gbuffer(scene, cfg)
+    assert int(gb_s.metrics.overflow) == 0
+    # Same per-ray tests against (a superset of) the same candidates;
+    # the sharded block path computes dirs with AoS `ray_directions`
+    # while the single-device SoA pipeline computes them per-component,
+    # and at this depth the image is dense with level-3 silhouettes
+    # where a ulp of dir flips a grazing d2<=r2 test and swaps the
+    # winner outright (verified: every flip is a silhouette pixel, NOT
+    # a block-boundary binning error — the mismatch locations are
+    # interior to blocks and the flipped values match the strict path).
+    hs, h1 = np.asarray(gb_s.hit), np.asarray(gb_1.hit)
+    assert (hs != h1).mean() < 1e-3
+    both = hs & h1
+    agree = np.isclose(
+        np.asarray(gb_s.min_t)[both], np.asarray(gb_1.min_t)[both],
+        atol=1e-4, rtol=1e-4,
+    )
+    assert agree.mean() > 0.995
+
+
 def test_sharded_render_pallas_matches_single_device():
     """The Pallas production kernel must run under shard_map with the
     same output as its single-device run (VERDICT round-1 item 5)."""
