@@ -44,7 +44,10 @@ Array = Any
 _BIG = np.float32(3.0e38)
 
 PAIR_CAP = 1 << 18  # static bound on (node, tile) pairs per frame
-SEG_WIN = 1024  # max pairs one tile's kernel pass consumes
+SEG_WIN = 512  # pairs per kernel DMA window (segments of ANY length
+# are consumed by looping windows — SEG_WIN is a staging-buffer size,
+# not a correctness cap)
+_UNROLL = 4  # independent node chains per loop iteration (VPU ILP)
 _LANES = 128
 
 
@@ -221,46 +224,73 @@ def bin_nodes(nodes, minv, cfg: RenderConfig, frame=None):
     n_pairs = offsets[-1]
     pair_overflow = jnp.maximum(n_pairs - PAIR_CAP, 0)
 
-    # pair -> node: scatter each live node's first-pair slot, then a
-    # running max fills the gaps (pairs of one node are contiguous).
+    # pair -> (node, tile), GATHER-FREE: random-index gathers over the
+    # pair array cost ~20 ns/element on TPU and dominated the round-2
+    # frame (31 of 53 ms — docs/PERF.md). Instead, scatter each live
+    # node's attributes at its FIRST pair slot and fill the gaps with
+    # running maxima: `first` is strictly increasing over live nodes,
+    # so packing attr into the low bits of (first << k | attr) makes
+    # each fill a monotone max-scan — 4 scans + 4 scatters, all
+    # bandwidth-bound, replace 6 gathers.
     first = offsets - counts
     slot = jnp.where(
         (counts > 0) & (first < PAIR_CAP), first, PAIR_CAP
     )
-    marks = jnp.zeros((PAIR_CAP + 1,), jnp.int32).at[slot].max(
-        jnp.arange(counts.shape[0], dtype=jnp.int32)
-    )[:PAIR_CAP]
-    pair_node = jax.lax.associative_scan(jnp.maximum, marks)
-    pair_rank = jnp.arange(PAIR_CAP, dtype=jnp.int32) - jnp.take(
-        first, pair_node
-    )
-    pair_valid = pair_rank < jnp.take(counts, pair_node)
+    iota_p = jnp.arange(PAIR_CAP, dtype=jnp.int32)
 
-    # Decode the tile from the rank within the node's bbox.
-    nb_w = jnp.take(bw, pair_node)
-    nb_x0 = jnp.take(tx0, pair_node)
-    nb_y0 = jnp.take(ty0, pair_node)
-    p_tx = nb_x0 + pair_rank % jnp.maximum(nb_w, 1)
-    p_ty = nb_y0 + pair_rank // jnp.maximum(nb_w, 1)
+    def fill(values):
+        """Fill-forward `values` (scattered at slot) over pair slots;
+        background -1 (any real packed value is >= 0)."""
+        marks = jnp.full((PAIR_CAP + 1,), -1, jnp.int32).at[slot].max(
+            values
+        )[:PAIR_CAP]
+        return jax.lax.associative_scan(jnp.maximum, marks)
+
+    # Bit budget: first < PAIR_CAP (2^18) needs 18 bits; tile coords
+    # and widths fit the remaining 13 even at 16384^2 (tiles_x 512 ->
+    # 9 bits), one attribute per scan.
+    fbits = max(1, (PAIR_CAP - 1).bit_length())
+    abits = 31 - fbits
+    assert tx_n <= (1 << abits) and ty_n <= (1 << abits), (
+        f"tile grid {tx_n}x{ty_n} exceeds the {abits}-bit pack budget"
+    )
+    pair_node = fill(jnp.arange(counts.shape[0], dtype=jnp.int32))
+    pk_x0 = fill((first << abits) | tx0)
+    pk_y0 = fill((first << abits) | ty0)
+    pk_bw = fill((first << abits) | bw)
+    amask = (1 << abits) - 1
+    p_first = pk_x0 >> abits
+    pair_rank = iota_p - p_first
+    pair_valid = iota_p < n_pairs  # offsets are gapless
+    nb_w = jnp.maximum(pk_bw & amask, 1)
+    p_tx = (pk_x0 & amask) + pair_rank % nb_w
+    p_ty = (pk_y0 & amask) + pair_rank // nb_w
     tile = jnp.where(pair_valid, p_ty * tx_n + p_tx, n_tiles)
 
     order = jnp.argsort(tile)
     tile_sorted = tile[order]
     node_sorted = pair_node[order]
 
+    # Kernel row layout: rc = r^2 - |c|^2 and rc4 = 4r^2 - |c|^2 fold
+    # the self/bounding discriminants into one FMA each in the kernel
+    # (disc = tca^2 + rc >= 0 <=> d2 <= r^2).
     rows = jnp.stack(
         [
-            nodes["cx"], nodes["cy"], nodes["cz"], nodes["cc"],
-            nodes["r2"], nodes["lodr"],
+            nodes["cx"], nodes["cy"], nodes["cz"],
+            nodes["r2"] - nodes["cc"],
+            4.0 * nodes["r2"] - nodes["cc"],
+            nodes["lodr"],
             nodes["code"].astype(jnp.float32),
             jnp.zeros_like(nodes["cx"]),
         ]
     )  # [8, N]
     pairs = rows[:, node_sorted]  # [8, PAIR_CAP]
     # Dead pairs (tile == n_tiles) sit at the end; starts/lens ignore
-    # them, but stamp r2 = -1 defensively so no ray test can pass.
+    # them, but stamp rc = rc4 = -BIG defensively so no ray test (nor
+    # an unrolled-tail or window-overshoot read) can ever pass.
     dead = tile_sorted >= n_tiles
-    pairs = pairs.at[4, :].set(jnp.where(dead, -1.0, pairs[4, :]))
+    pairs = pairs.at[3, :].set(jnp.where(dead, -_BIG, pairs[3, :]))
+    pairs = pairs.at[4, :].set(jnp.where(dead, -_BIG, pairs[4, :]))
 
     starts = jnp.searchsorted(tile_sorted, jnp.arange(n_tiles, dtype=jnp.int32))
     ends = jnp.searchsorted(
@@ -272,66 +302,138 @@ def bin_nodes(nodes, minv, cfg: RenderConfig, frame=None):
     )
 
 
-def make_pairs_kernel(win: int):
-    """Kernel body: per-tile scalar node loop over a DMA'd pair window."""
+def make_pairs_kernel(win: int, n_tiles: int):
+    """Kernel body v2: windowed node loop with overlapped DMA + ILP.
+
+    - **Segments of any length.** The tile's pair segment is consumed
+      in `win`-pair windows (`lax.fori_loop` over windows), so no
+      window cap can drop geometry — the round-2 SEG_WIN overflow
+      failure mode is gone (and progressive-mode bundle spans, which
+      cover many tiles, work on this kernel).
+    - **DMA overlapped with compute.** Window 0 of tile i+1 is
+      prefetched into the other half of a double SMEM buffer while
+      tile i's node loop runs (scratch persists across TPU grid
+      steps); only the rare windows >= 1 (segments longer than `win`)
+      pay their DMA latency inline.
+    - **ILP via 4 independent node chains.** Each loop iteration tests
+      `_UNROLL` nodes against the ray vreg into separate (t, code)
+      accumulators, merged after the loop — the serial min-select
+      dependence of the round-2 kernel left the VPU idle between
+      nodes. Per-node math is 2 FMAs + compares thanks to the
+      precomputed rc/rc4 rows (`bin_nodes`).
+    """
+    buf_w = win + _LANES + _UNROLL  # aligned window + unroll overshoot
 
     def kernel(
         starts_ref,  # SMEM [T] scalar-prefetch
         lens_ref,  # SMEM [T] scalar-prefetch
         dirs_ref,  # VMEM [1, 3, 8, 128]
-        pairs_ref,  # ANY (HBM) [8, PAIR_CAP + win]
+        pairs_ref,  # ANY (HBM) [8, PAIR_CAP + win + 128]
         out_ref,  # VMEM [1, 2, 8, 128]
         mout_ref,  # SMEM [1, 1, 4]
-        qs,  # SMEM scratch [8, win + 128]
-        sem,
+        qf,  # SMEM scratch [2, 8, buf_w] first-window double buffer
+        qr,  # SMEM scratch [8, buf_w] windows >= 1
+        sem_f,  # DMA semaphores [2]
+        sem_r,  # DMA semaphore
     ):
         i = pl.program_id(0)
         start = starts_ref[i]
         length = lens_ref[i]
-        base = pl.multiple_of((start // _LANES) * _LANES, _LANES)
-        off = start - base
-        clipped = jnp.minimum(length, win + _LANES - off)
+        slot = jax.lax.rem(i, 2)
 
-        @pl.when(length > 0)
-        def _():
-            cp = pltpu.make_async_copy(
-                pairs_ref.at[:, pl.ds(base, win + _LANES)], qs, sem
+        def first_dma(tile_idx, dst_slot):
+            s = starts_ref[tile_idx]
+            base = pl.multiple_of((s // _LANES) * _LANES, _LANES)
+            return pltpu.make_async_copy(
+                pairs_ref.at[:, pl.ds(base, win + _LANES)],
+                qf.at[dst_slot, :, : win + _LANES],
+                sem_f.at[dst_slot],
             )
-            cp.start()
-            cp.wait()
+
+        @pl.when(i == 0)
+        def _():
+            first_dma(0, 0).start()
+
+        first_dma(i, slot).wait()
+        # Overlap the next tile's first window with this tile's loop.
+        @pl.when(i + 1 < n_tiles)
+        def _():
+            first_dma(i + 1, 1 - slot).start()
 
         dx = dirs_ref[0, 0]
         dy = dirs_ref[0, 1]
         dz = dirs_ref[0, 2]
-        bt0 = jnp.full((8, _LANES), _BIG, jnp.float32)
-        bc0 = jnp.zeros((8, _LANES), jnp.float32)
+        big = jnp.full((8, _LANES), _BIG, jnp.float32)
+        zero = jnp.zeros((8, _LANES), jnp.float32)
+        n_win = (length + win - 1) // win
 
-        def node_body(q, carry):
-            bt, bc = carry
-            cx = qs[0, off + q]
-            cy = qs[1, off + q]
-            cz = qs[2, off + q]
-            cc = qs[3, off + q]
-            r2 = qs[4, off + q]
-            lodr = qs[5, off + q]
-            code = qs[6, off + q]
-            tca = dx * cx + dy * cy + dz * cz
-            d2 = cc - tca * tca
-            c1 = tca - lodr
-            lod_ok = (c1 < 0.0) | (c1 * c1 < 4.0 * r2 - d2)
-            ok = (tca >= 0.0) & lod_ok & (d2 <= r2)
-            ts = tca - jnp.sqrt(jnp.maximum(r2 - d2, 0.0))
-            better = ok & (ts < bt)
-            return (
-                jnp.where(better, ts, bt),
-                jnp.where(better, code, bc),
+        def window(w, acc, from_first):
+            wstart = start + w * win
+            base = pl.multiple_of((wstart // _LANES) * _LANES, _LANES)
+            off = wstart - base
+            cnt = jnp.minimum(length - w * win, win)
+
+            def load(r, idx):
+                return (
+                    qf[slot, r, idx] if from_first else qr[r, idx]
+                )
+
+            def node_quad(q, acc):
+                acc = list(acc)
+                for u in range(_UNROLL):
+                    k = q * _UNROLL + u
+                    idx = off + k
+                    cx = load(0, idx)
+                    cy = load(1, idx)
+                    cz = load(2, idx)
+                    rc = load(3, idx)
+                    rc4 = load(4, idx)
+                    lodr = load(5, idx)
+                    code = load(6, idx)
+                    tca = dx * cx + dy * cy + dz * cz
+                    t2 = tca * tca
+                    disc = t2 + rc  # r^2 - d^2
+                    c1 = tca - lodr
+                    # `SIMD_AVX.h:236-270` + the sqrt-free LOD gate.
+                    lod_ok = (c1 < 0.0) | (c1 * c1 < t2 + rc4)
+                    ok = (tca >= 0.0) & lod_ok & (disc >= 0.0) & (k < cnt)
+                    ts = tca - jnp.sqrt(jnp.maximum(disc, 0.0))
+                    bt, bc = acc[2 * u], acc[2 * u + 1]
+                    better = ok & (ts < bt)
+                    acc[2 * u] = jnp.where(better, ts, bt)
+                    acc[2 * u + 1] = jnp.where(better, code, bc)
+                return tuple(acc)
+
+            nq = (cnt + _UNROLL - 1) // _UNROLL
+            return jax.lax.fori_loop(0, nq, node_quad, acc, unroll=False)
+
+        acc0 = (big, zero) * _UNROLL
+        acc = window(0, acc0, from_first=True)
+
+        def rest_body(w, acc):
+            wstart = start + w * win
+            base = pl.multiple_of((wstart // _LANES) * _LANES, _LANES)
+            cp = pltpu.make_async_copy(
+                pairs_ref.at[:, pl.ds(base, win + _LANES)],
+                qr.at[:, : win + _LANES],
+                sem_r,
             )
+            cp.start()
+            cp.wait()
+            return window(w, acc, from_first=False)
 
-        bt, bc = jax.lax.fori_loop(0, clipped, node_body, (bt0, bc0))
+        acc = jax.lax.fori_loop(1, n_win, rest_body, acc, unroll=False)
+
+        bt, bc = acc[0], acc[1]
+        for u in range(1, _UNROLL):
+            bu, cu = acc[2 * u], acc[2 * u + 1]
+            take = bu < bt
+            bt = jnp.where(take, bu, bt)
+            bc = jnp.where(take, cu, bc)
         out_ref[0, 0] = bt
         out_ref[0, 1] = bc
         mout_ref[0, 0, 0] = length
-        mout_ref[0, 0, 1] = jnp.maximum(length - clipped, 0)  # window overflow
+        mout_ref[0, 0, 1] = jnp.int32(0)  # windowed: nothing can drop
         mout_ref[0, 0, 2] = jnp.int32(0)
         mout_ref[0, 0, 3] = jnp.int32(0)
 
@@ -375,12 +477,14 @@ def trace_pairs_pallas_soa(
     T = dirs_k.shape[0]
     sg = jax.lax.stop_gradient
     dirs_t, pairs = sg((dirs_k, pairs))
-    # Pad so the last window's DMA never reads out of bounds.
-    pairs_pad = jnp.concatenate(
-        [pairs, jnp.zeros((8, SEG_WIN + _LANES), pairs.dtype)], axis=1
-    )
+    # Pad so the last window's DMA never reads out of bounds; padding
+    # carries rc = rc4 = -BIG so no test can pass on it.
+    pad = jnp.zeros((8, SEG_WIN + _LANES), pairs.dtype)
+    pad = pad.at[3:5, :].set(-_BIG)
+    pairs_pad = jnp.concatenate([pairs, pad], axis=1)
 
-    kernel = make_pairs_kernel(SEG_WIN)
+    buf_w = SEG_WIN + _LANES + _UNROLL
+    kernel = make_pairs_kernel(SEG_WIN, T)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(T,),
@@ -404,7 +508,9 @@ def trace_pairs_pallas_soa(
             ),
         ),
         scratch_shapes=[
-            pltpu.SMEM((8, SEG_WIN + _LANES), jnp.float32),
+            pltpu.SMEM((2, 8, buf_w), jnp.float32),
+            pltpu.SMEM((8, buf_w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
     )

@@ -118,37 +118,70 @@ def progressive_step(
     root = root_frame(scene.camera.position)
     templates = child_templates(scene.fractal)
 
-    if cfg.algorithm == "pallas":
-        # The production kernel wants 1024-ray bundles with bounding
-        # frusta. Sobol samples are scattered across the screen, so the
-        # batch is sorted into spatially-local groups first (samples of
-        # nearby conceptual tiles land in the same bundle), each bundle
-        # culled by its own conservative frustum
-        # (`camera.bundle_frustum_planes`), then results unsorted.
+    if cfg.algorithm in ("pallas", "binned"):
+        # The production kernels want 1024-ray bundles. Sobol samples
+        # are scattered across the screen, so the batch is sorted into
+        # spatially-local groups first (samples of nearby conceptual
+        # tiles land in the same bundle), then results unsorted.
         import jax
 
-        from sphereflake_tpu.camera import bundle_frustum_planes
         from sphereflake_tpu.ops.pallas_traversal import (
             TILE_RAYS,
             resolve_codes,
-            trace_tiles_pallas,
         )
         from sphereflake_tpu.ops.traversal import TraceResult
 
         assert batch_size % TILE_RAYS == 0, (
-            f"pallas progressive needs batch_size % {TILE_RAYS} == 0"
+            f"pallas/binned progressive needs batch_size % {TILE_RAYS} == 0"
         )
         tile_id = (py // cfg.tile_h).astype(jnp.int32) * cfg.tiles_x + (
             px // cfg.tile_w
         ).astype(jnp.int32)
         order = jnp.argsort(tile_id, stable=True)
         groups = dirs[order].reshape(-1, TILE_RAYS, 3)
-        planes = jax.vmap(bundle_frustum_planes)(groups)
         interpret = jax.default_backend() != "tpu"
-        _, code, m = trace_tiles_pallas(
-            groups, planes, root, templates, scene.fractal, cfg,
-            interpret=interpret,
-        )
+
+        if cfg.algorithm == "binned":
+            # Bin the whole frame once, then give each bundle the
+            # contiguous pair-segment SPAN of the tiles it touches
+            # (tile segments are adjacent in tile order, so the union
+            # of tiles [t_lo, t_hi] is pairs[starts[t_lo] :
+            # starts[t_hi] + lens[t_hi]]) — a conservative superset;
+            # per-ray tests are exact, and the windowed kernel
+            # consumes spans of any length.
+            from sphereflake_tpu.ops.binned import (
+                binned_pairs,
+                trace_pairs_pallas,
+            )
+
+            pairs, t_starts, t_lens, (_n, pair_ovf) = binned_pairs(
+                scene, cfg, root, templates
+            )
+            tid_sorted = tile_id[order].reshape(-1, TILE_RAYS)
+            t_lo, t_hi = tid_sorted[:, 0], tid_sorted[:, -1]
+            b_start = jnp.take(t_starts, t_lo)
+            b_len = jnp.take(t_starts, t_hi) + jnp.take(t_lens, t_hi) - b_start
+            _, code, m = trace_pairs_pallas(
+                groups, pairs, b_start, b_len, cfg, interpret=interpret
+            )
+            depth_r = jnp.zeros((), jnp.int32)
+            max_code = jnp.max(code).astype(jnp.int32)
+            for k in range(1, cfg.max_depth + 1):
+                depth_r = depth_r + (max_code >= 9**k).astype(jnp.int32)
+            overflow = jnp.sum(m[:, 0, 1]) + pair_ovf
+        else:
+            from sphereflake_tpu.camera import bundle_frustum_planes
+            from sphereflake_tpu.ops.pallas_traversal import (
+                trace_tiles_pallas,
+            )
+
+            planes = jax.vmap(bundle_frustum_planes)(groups)
+            _, code, m = trace_tiles_pallas(
+                groups, planes, root, templates, scene.fractal, cfg,
+                interpret=interpret,
+            )
+            depth_r = jnp.max(m[:, 0, 2])
+            overflow = jnp.sum(m[:, 0, 1])
         mt_s, center_s, hit_s = resolve_codes(
             groups, code, root, templates, scene.fractal, cfg
         )
@@ -157,9 +190,9 @@ def progressive_step(
             min_t=mt_s.reshape(-1)[inv],
             center=center_s.reshape(-1, 3)[inv],
             hit=hit_s.reshape(-1)[inv],
-            max_depth_reached=jnp.max(m[:, 0, 2]),
+            max_depth_reached=depth_r,
             nodes_visited=jnp.sum(m[:, 0, 0]),
-            overflow=jnp.sum(m[:, 0, 1]),
+            overflow=overflow,
         )
     else:
         res = tile_tracer(cfg)(dirs, root, templates, scene.fractal, cfg)

@@ -117,6 +117,32 @@ def test_progressive_pallas_matches_fast_path():
     assert np.isclose(tf, tp, rtol=1e-4, atol=1e-4).mean() > 0.995
 
 
+def test_progressive_binned_matches_fast_path():
+    """The binned production path serves the frameless mode: bundles
+    consume the contiguous pair-segment span of the tiles they touch
+    through the windowed kernel."""
+    import dataclasses
+
+    cfg_f = RenderConfig(width=96, height=64, max_depth=2, tile_h=32,
+                         tile_w=32, max_frontier=128, algorithm="fast")
+    cfg_b = dataclasses.replace(cfg_f, algorithm="binned")
+    scene = default_scene()
+
+    sf = progressive_init(cfg_f, seed=3)
+    sb = progressive_init(cfg_b, seed=3)
+    for _ in range(3):
+        sf = progressive_step(sf, scene, cfg_f, batch_size=1024)
+        sb = progressive_step(sb, scene, cfg_b, batch_size=1024)
+
+    cov_f = np.asarray(sf.min_t) < 1e30
+    cov_b = np.asarray(sb.min_t) < 1e30
+    assert (cov_f == cov_b).mean() > 0.999
+    both = cov_f & cov_b
+    tf, tb = np.asarray(sf.min_t)[both], np.asarray(sb.min_t)[both]
+    assert np.isclose(tf, tb, rtol=1e-4, atol=1e-4).mean() > 0.995
+    assert int(sb.samples_traced) == 3 * 1024
+
+
 def test_progressive_duplicate_pixels_deterministic():
     """Duplicates in one batch resolve deterministically (last sample
     wins), unlike the reference's racy scatter — run twice, compare."""
