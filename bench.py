@@ -1,20 +1,23 @@
 """Headline benchmark: primary rays/s at 1080p depth-6 on one TPU chip.
 
-Runs the PRODUCTION path (the fused Pallas traversal kernel,
-`sphereflake_tpu/ops/pallas_traversal.py`) and prints ONE JSON line:
+Runs the PRODUCTION path (binned: global expansion + screen binning +
+the windowed Pallas ray kernel, `sphereflake_tpu/ops/binned.py`) and
+prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "rays/s", "vs_baseline": N}
 
 vs_baseline is against BASELINE.json's target of 2e9 primary rays/s per
 v5p chip (the reference itself publishes no numbers — BASELINE.md).
 Extra context lines go to stderr.
 
-Timing: frames are dispatched back-to-back and blocked once. On a
-tunneled TPU (axon) every synchronous dispatch+fetch pays ~27ms of
-round-trip latency; pipelined dispatch amortizes it exactly like the
-reference's frameless tracer never stalls on the display thread.
-The frame parameters vary per dispatch so no caching can elide work,
-and correctness gates the number: a frame that dropped geometry
-(frontier overflow) fails the bench rather than reporting a fast lie.
+Timing methodology (docs/PERF.md): the tunneled axon backend neither
+synchronizes on `block_until_ready` nor re-executes identical
+dispatches (the relay memoizes them), so the only honest measurement
+runs N frames inside ONE dispatch — a `lax.scan` whose per-frame
+camera varies — synchronized by fetching the scalar result value.
+Per-frame device time is the marginal (t(n=22) - t(n=2)) / 20, which
+cancels launch + fetch overhead exactly. Correctness gates the number:
+a frame that dropped geometry (pair-table overflow) fails the bench
+rather than reporting a fast lie.
 """
 
 from __future__ import annotations
@@ -24,13 +27,17 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 
 def main() -> int:
-    os.makedirs("/root/.cache/jax-bench", exist_ok=True)
+    cache = os.path.expanduser(
+        os.environ.get("SPHEREFLAKE_CACHE_DIR", "~/.cache/jax-bench")
+    )
+    os.makedirs(cache, exist_ok=True)
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax-bench")
+    jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
@@ -43,7 +50,7 @@ def main() -> int:
     dev = jax.devices()[0]
     print(f"bench device: {dev.platform} {dev.device_kind}", file=sys.stderr)
 
-    # 1080p depth-6: BASELINE.json config 3 geometry, production kernel.
+    # 1080p depth-6: BASELINE.json config 3 geometry, production path.
     cfg = RenderConfig(
         width=1920,
         height=1080,
@@ -54,17 +61,12 @@ def main() -> int:
         algorithm="binned" if dev.platform != "cpu" else "fast",
         strict_lod=True,
     )
-    scene = default_scene()
+    scene0 = default_scene()
 
-    def frame(i: int):
-        cam = dataclasses.replace(
-            scene.camera, yaw=scene.camera.yaw + 1e-7 * i
-        )
-        return render_gbuffer(dataclasses.replace(scene, camera=cam), cfg)
-
+    # Correctness gate on a full frame first.
     t0 = time.perf_counter()
-    gb = frame(0)
-    sync = float(np.asarray(jnp.sum(gb.min_t)))  # full completion barrier
+    gb = render_gbuffer(scene0, cfg)
+    _ = float(np.asarray(jnp.sum(jnp.minimum(gb.min_t, 1e30))))
     compile_s = time.perf_counter() - t0
     print(f"first frame (incl. compile): {compile_s:.1f}s", file=sys.stderr)
     overflow = int(gb.metrics.overflow)
@@ -76,30 +78,54 @@ def main() -> int:
     )
     if overflow:
         print(
-            f"FAIL: frontier overflow dropped {overflow} nodes — the "
+            f"FAIL: pair-table overflow dropped {overflow} nodes — the "
             "benchmarked image would be missing geometry; raise "
-            "max_frontier",
+            "max_frontier / PAIR_CAP",
             file=sys.stderr,
         )
         return 1
 
-    def run(frames: int) -> float:
-        keep = []
+    @partial(jax.jit, static_argnames=("n",))
+    def frames(scene, n):
+        def body(acc, i):
+            fi = i.astype(jnp.float32)
+            cam = dataclasses.replace(
+                scene.camera, yaw=scene.camera.yaw + 1e-7 * fi
+            )
+            gb = render_gbuffer(dataclasses.replace(scene, camera=cam), cfg)
+            # Consume two pixels so no frame's work can be elided.
+            return acc + gb.min_t[5, 5] + gb.min_t[540, 960], None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n))
+        return acc
+
+    fresh = iter(range(1, 1 << 20))
+
+    def run(n: int) -> float:
+        # Fresh top-level input each call: the relay memoizes identical
+        # (executable, inputs) dispatches.
+        cam = dataclasses.replace(
+            scene0.camera, roll=scene0.camera.roll + 1e-6 * next(fresh)
+        )
+        sc = dataclasses.replace(scene0, camera=cam)
         t0 = time.perf_counter()
-        for i in range(frames):
-            keep.append(frame(1 + i).min_t[0, 0])
-        _ = float(np.asarray(jnp.stack(keep).sum()))
+        float(frames(sc, n))
         return time.perf_counter() - t0
 
-    run(2)  # warm every dispatch path
-    t1 = run(1)
-    frames = 10
-    tn = run(frames + 1)
-    dt = (tn - t1) / frames  # latency-cancelled steady-state
+    n_small, n_big = 2, 22
+    run(n_small)  # compile both scan variants
+    run(n_big)
+    dts = []
+    for _ in range(3):
+        t_s = run(n_small)
+        t_b = run(n_big)
+        dts.append((t_b - t_s) / (n_big - n_small))
+    dt = min(dts)
     rays_per_s = cfg.width * cfg.height / dt
     print(
-        f"{frames} pipelined frames: {dt * 1e3:.2f} ms/frame -> "
-        f"{rays_per_s / 1e6:.1f}M rays/s",
+        f"marginal device time over {n_big - n_small} in-dispatch frames: "
+        f"{dt * 1e3:.2f} ms/frame -> {rays_per_s / 1e6:.1f}M rays/s "
+        f"(trials: {', '.join(f'{d * 1e3:.2f}' for d in dts)} ms)",
         file=sys.stderr,
     )
 

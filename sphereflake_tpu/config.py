@@ -164,6 +164,18 @@ class RenderConfig:
     # "loose": any-ray expansion without cone culling (diagnostics).
     algorithm: str = "fast"
     strict_lod: bool = True  # per-ray gating inside the non-fast paths
+    # Binned path: render the frame in horizontal bands of this many
+    # tile rows, each binned separately (bounds the pair table and the
+    # live working set — required for 16384^2 frames, `README.md:51`).
+    # None = auto: whole frame when it fits PAIR_CAP comfortably, else
+    # ~2048-tile bands.
+    band_tile_rows: int | None = None
+    # Binned path: live-node capacity per fractal level once the dense
+    # level width would exceed ~600k nodes (depth >= 7). The LOD cut
+    # keeps live counts far below the dense width at depth (the
+    # reference's recursion is unbounded for the same reason,
+    # `Sphereflake.h:146-153`); overflow is counted, never silent.
+    global_cap: int = 1 << 17
     ssao_downscale: int = 1  # SSAO target downscale (main.cpp:118 uses 1)
     noise_size: int = 64  # SSAO noise texture size (SSAO.h:4)
     background: float = 0.0  # sky writes zeros (post_final.glsl:20-24)
@@ -184,6 +196,28 @@ class RenderConfig:
             )
         if self.max_depth < 0:
             raise ValueError("max_depth must be >= 0")
+        if self.band_tile_rows is not None:
+            if self.algorithm != "binned":
+                raise ValueError("band_tile_rows requires algorithm='binned'")
+            if self.tiles_y % self.band_tile_rows:
+                raise ValueError(
+                    f"tiles_y {self.tiles_y} not divisible by "
+                    f"band_tile_rows {self.band_tile_rows}"
+                )
+
+    @property
+    def effective_band_rows(self) -> int | None:
+        """Band height in tile rows for the binned path, or None for a
+        whole-frame bin. Auto-bands frames whose tile count would
+        overflow the pair table (~2048 tiles per band)."""
+        if self.band_tile_rows is not None:
+            return self.band_tile_rows
+        if self.algorithm != "binned" or self.tiles_x * self.tiles_y <= 4096:
+            return None
+        rows = max(1, 2048 // self.tiles_x)
+        while rows > 1 and self.tiles_y % rows:
+            rows -= 1
+        return rows
 
     @property
     def padded_width(self) -> int:

@@ -51,11 +51,63 @@ _UNROLL = 4  # independent node chains per loop iteration (VPU ILP)
 _LANES = 128
 
 
+def _running_max_rows(x: Array) -> Array:
+    """Per-row inclusive running max over [K, n] int32 (see
+    `_running_max_1d` for why flat scans are avoided): one vectorized
+    [K*rows, cols] `lax.cummax` + a tiny per-row carry scan."""
+    k, n = x.shape
+    rows = 1 << (max(n.bit_length() - 1, 2) // 2 + 1)
+    cols = -(-n // rows)
+    pad = rows * cols - n
+    imin = jnp.int32(-(2**31))
+    x2 = jnp.concatenate(
+        [x, jnp.full((k, pad), imin, x.dtype)], axis=1
+    ).reshape(k, rows, cols)
+    row = jax.lax.cummax(x2, axis=2)
+    carry = jax.lax.cummax(row[:, :, -1], axis=1)
+    carry = jnp.concatenate(
+        [jnp.full((k, 1), imin, x.dtype), carry[:, :-1]], axis=1
+    )
+    out = jnp.maximum(row, carry[:, :, None]).reshape(k, rows * cols)
+    return tuple(out[i, :n] for i in range(k))
+
+
+def _running_max_1d(x: Array) -> Array:
+    """Inclusive running max over a 1D int32 array, two-level.
+
+    A flat [n] scan on TPU degenerates to lane-serial passes (an [n]
+    array is (8,128)-tiled, and XLA's 1D cumulative lowering cannot
+    vectorize across the flattened dim — measured ~7 ms per 262k scan).
+    Decomposing into a [rows, cols] row-wise `lax.cummax` (vectorized
+    over rows) plus a tiny carry scan over row maxima is ~20x faster.
+    """
+    n = x.shape[0]
+    rows = 1 << (max(n.bit_length() - 1, 2) // 2 + 1)
+    cols = -(-n // rows)
+    pad = rows * cols - n
+    imin = jnp.int32(-(2**31))
+    x2 = jnp.concatenate([x, jnp.full((pad,), imin, x.dtype)]).reshape(
+        rows, cols
+    )
+    row = jax.lax.cummax(x2, axis=1)
+    carry = jax.lax.cummax(row[:, -1], axis=0)
+    carry = jnp.concatenate([jnp.full((1,), imin, x.dtype), carry[:-1]])
+    return jnp.maximum(row, carry[:, None]).reshape(rows * cols)[:n]
+
+
+_POW7 = 9**7  # path-code hi/lo split: lo < 9^7 stays f32-exact
+_DENSE_MAX = 600_000  # widest dense level kept (9^6 = 531441)
+DEEP_MAX_DEPTH = 14  # hi < 9^7 bound on the two-lane code
+
+
 def _level_sizes(cfg: RenderConfig) -> list[int]:
-    # Dense per-level node counts. Beyond global_cap the expansion
-    # switches to compaction of the parent level (not yet needed for
-    # depth <= 6: 9^6 = 531441 stays dense).
-    return [9**l for l in range(cfg.max_depth + 1)]
+    """Static emitted node count per level: dense 9^l while that stays
+    under ~600k, then compacted to cfg.global_cap live nodes."""
+    sizes, n = [], 1
+    for _ in range(cfg.max_depth + 1):
+        sizes.append(min(n, cfg.global_cap) if n > _DENSE_MAX else n)
+        n = 9 * sizes[-1]
+    return sizes
 
 
 def expand_global(
@@ -65,13 +117,30 @@ def expand_global(
     cfg: RenderConfig,
     frame_planes: Array,  # [4, 3] inward unit planes of the whole frame
 ):
-    """Dense masked SoA expansion of the whole LOD-passing tree.
+    """Levelwise SoA expansion of the whole LOD-passing tree.
 
-    Returns dict with [N] component arrays over all levels concatenated:
-    cx, cy, cz, cc (|c|^2), r2, lodr, code (int32), live (bool), rad
-    (bounding radius 2r per node).
+    Levels stay DENSE (masked, no data movement) while their 9^l width
+    is under ~600k — elementwise masked math is cheaper on the VPU than
+    compaction, and the dense level-6 walk measures ~0.1 ms. Wider
+    levels (depth >= 7) are compacted to `cfg.global_cap` live nodes
+    before emission, which is what makes the reference's UNBOUNDED
+    LOD-terminated recursion depth (`Sphereflake.h:146-153`)
+    reachable: an approach dive to level 14 expands only the live
+    frontier, never the 9^14 dense tree.
+
+    Path codes ride two lanes (code = hi * 9^7 + lo) so depths past 7
+    stay exact in f32 kernel rows (`DEEP_MAX_DEPTH` = 14).
+
+    Returns (nodes dict with [N] component arrays over all levels
+    concatenated — cx, cy, cz, cc, r2, lodr, code (lo, int32),
+    code_hi (int32), live, rad — and the compaction overflow count).
     """
+    assert cfg.max_depth <= DEEP_MAX_DEPTH, (
+        f"binned path supports max_depth <= {DEEP_MAX_DEPTH} "
+        "(two-lane path-code exactness)"
+    )
     depth = cfg.max_depth
+    cap = cfg.global_cap
     lod_sq = jnp.float32(cfg.lod_factor**2)
     ratio = fractal.radius_ratio
     radius0 = fractal.root_radius
@@ -82,13 +151,15 @@ def expand_global(
     # Level 0: the root frame.
     r = [jnp.broadcast_to(root[a, b], (1,)) for a in range(3) for b in range(3)]
     t = [jnp.broadcast_to(root[a, 3], (1,)) for a in range(3)]
-    code = jnp.ones((1,), jnp.int32)
+    lo = jnp.ones((1,), jnp.int32)
+    hi = jnp.zeros((1,), jnp.int32)
     live = jnp.ones((1,), bool)
+    overflow = jnp.int32(0)
 
     out = {k: [] for k in ("cx", "cy", "cz", "cc", "r2", "lodr", "code",
-                            "live", "rad")}
+                            "code_hi", "live", "rad")}
 
-    def emit(t, code, live, radius):
+    def cull(t, live, radius):
         cx, cy, cz = t
         cc = cx * cx + cy * cy + cz * cz
         # Whole-frame frustum + LOD cull (same conservative tests the
@@ -102,21 +173,71 @@ def expand_global(
                 + frame_planes[p, 2] * cz
             )
             keep = keep & (d_p >= -2.0 * radius)
+        return keep
+
+    def emit(t, lo, hi, live, radius):
+        cx, cy, cz = t
+        n = cx.shape[0]
         out["cx"].append(cx)
         out["cy"].append(cy)
         out["cz"].append(cz)
-        out["cc"].append(cc)
-        n = cx.shape[0]
+        out["cc"].append(cx * cx + cy * cy + cz * cz)
         out["r2"].append(jnp.full((n,), 1.0, jnp.float32) * (radius * radius))
         out["lodr"].append(jnp.full((n,), 1.0, jnp.float32) * (lod_sq * radius))
-        out["code"].append(code)
-        out["live"].append(keep)
+        out["code"].append(lo)
+        out["code_hi"].append(hi)
+        out["live"].append(live)
         out["rad"].append(jnp.full((n,), 1.0, jnp.float32) * (2.0 * radius))
-        return keep
+
+    def compact(r, t, lo, hi, live):
+        """Batched-scatter compaction of live nodes to [cap] slots.
+
+        One f32 scatter moves all 14 component rows (codes bitcast);
+        live ranks are unique, dead nodes aim out of bounds and drop.
+
+        When live > cap the FARTHEST nodes are dropped (distance
+        threshold from a sort), matching LOD semantics — an
+        array-order drop would discard whichever subtree happens to
+        sit last, which at a dive pose is the near-camera geometry
+        the dive exists to reveal.
+        """
+        n = live.shape[0]
+        total_all = jnp.sum(live.astype(jnp.int32))
+        cc = t[0] * t[0] + t[1] * t[1] + t[2] * t[2]
+        key = jnp.where(live, cc, _BIG)
+        kth = jnp.sort(key)[jnp.minimum(cap, n) - 1]
+        live = live & (key <= kth)  # ties may still exceed cap; rank-clip
+        rank = jnp.cumsum(live.astype(jnp.int32)) - 1
+        total = jnp.where(n > 0, rank[-1] + 1, 0)
+        slot = jnp.where(live & (rank < cap), rank, cap)
+        total = jnp.minimum(total, total_all)
+        f32 = jax.lax.bitcast_convert_type
+        rows = jnp.stack(
+            r + t + [f32(lo, jnp.float32), f32(hi, jnp.float32)]
+        )  # [14, n]
+        packed = (
+            jnp.zeros((14, cap), jnp.float32)
+            .at[:, slot]
+            .set(rows, mode="drop", unique_indices=True)
+        )
+        i32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+        new_live = jnp.arange(cap, dtype=jnp.int32) < jnp.minimum(total, cap)
+        return (
+            [packed[k] for k in range(9)],
+            [packed[9 + a] for a in range(3)],
+            i32(packed[12]),
+            i32(packed[13]),
+            new_live,
+            jnp.maximum(total_all - jnp.minimum(total, cap), 0),
+        )
 
     radius = radius0
-    live = emit(t, code, live, radius)
+    live = cull(t, live, radius)
+    emit(t, lo, hi, live, radius)
     for _level in range(depth):
+        if 9 * live.shape[0] > _DENSE_MAX:
+            r, t, lo, hi, live, ovf = compact(r, t, lo, hi, live)
+            overflow = overflow + ovf
         scale = (1.0 + ratio) * radius
         # Children: [9, N] via broadcasting template constants.
         new_r = [
@@ -130,16 +251,28 @@ def expand_global(
             + t[a][None, :]
             for a in range(3)
         ]
-        code = (code[None, :] * 9 + jnp.arange(9, dtype=jnp.int32)[:, None])
-        n9 = code.shape[0] * code.shape[1]
+        j9 = jnp.arange(9, dtype=jnp.int32)[:, None]
+        lo9 = lo[None, :] * 9 + j9
+        carry = lo9 // _POW7
+        lo = lo9 - carry * _POW7
+        hi = hi[None, :] * 9 + carry
+        n9 = lo.shape[0] * lo.shape[1]
         r = [x.reshape(n9) for x in new_r]
         t = [x.reshape(n9) for x in new_t]
-        code = code.reshape(n9)
+        lo = lo.reshape(n9)
+        hi = hi.reshape(n9)
         live = jnp.broadcast_to(live[None, :], (9, live.shape[0])).reshape(n9)
         radius = radius * ratio
-        live = emit(t, code, live, radius)
+        live = cull(t, live, radius)
+        # Compact wide levels before emission too, so the binning
+        # stage's arrays stay ~global_cap per deep level.
+        if n9 > _DENSE_MAX:
+            r, t, lo, hi, live, ovf = compact(r, t, lo, hi, live)
+            overflow = overflow + ovf
+        emit(t, lo, hi, live, radius)
 
-    return {k: jnp.concatenate(v) for k, v in out.items()}
+    nodes = {k: jnp.concatenate(v) for k, v in out.items()}
+    return nodes, overflow
 
 
 def corner_basis(cam, width: int, height: int):
@@ -233,18 +366,14 @@ def bin_nodes(nodes, minv, cfg: RenderConfig, frame=None):
     # each fill a monotone max-scan — 4 scans + 4 scatters, all
     # bandwidth-bound, replace 6 gathers.
     first = offsets - counts
+    # Live nodes have strictly increasing `first`, so in-bounds slots
+    # are UNIQUE — scatter with mode="drop" + unique_indices (dead
+    # nodes aim at PAIR_CAP, out of bounds) instead of a dup-tolerant
+    # .at[].max, and all four fill sources ride ONE batched scatter.
     slot = jnp.where(
         (counts > 0) & (first < PAIR_CAP), first, PAIR_CAP
     )
     iota_p = jnp.arange(PAIR_CAP, dtype=jnp.int32)
-
-    def fill(values):
-        """Fill-forward `values` (scattered at slot) over pair slots;
-        background -1 (any real packed value is >= 0)."""
-        marks = jnp.full((PAIR_CAP + 1,), -1, jnp.int32).at[slot].max(
-            values
-        )[:PAIR_CAP]
-        return jax.lax.associative_scan(jnp.maximum, marks)
 
     # Bit budget: first < PAIR_CAP (2^18) needs 18 bits; tile coords
     # and widths fit the remaining 13 even at 16384^2 (tiles_x 512 ->
@@ -254,10 +383,20 @@ def bin_nodes(nodes, minv, cfg: RenderConfig, frame=None):
     assert tx_n <= (1 << abits) and ty_n <= (1 << abits), (
         f"tile grid {tx_n}x{ty_n} exceeds the {abits}-bit pack budget"
     )
-    pair_node = fill(jnp.arange(counts.shape[0], dtype=jnp.int32))
-    pk_x0 = fill((first << abits) | tx0)
-    pk_y0 = fill((first << abits) | ty0)
-    pk_bw = fill((first << abits) | bw)
+    sources = jnp.stack(
+        [
+            jnp.arange(counts.shape[0], dtype=jnp.int32),  # node id
+            (first << abits) | tx0,
+            (first << abits) | ty0,
+            (first << abits) | bw,
+        ]
+    )
+    marks = (
+        jnp.full((4, PAIR_CAP), -1, jnp.int32)
+        .at[:, slot]
+        .set(sources, mode="drop", unique_indices=True)
+    )
+    pair_node, pk_x0, pk_y0, pk_bw = _running_max_rows(marks)
     amask = (1 << abits) - 1
     p_first = pk_x0 >> abits
     pair_rank = iota_p - p_first
@@ -267,9 +406,12 @@ def bin_nodes(nodes, minv, cfg: RenderConfig, frame=None):
     p_ty = (pk_y0 & amask) + pair_rank // nb_w
     tile = jnp.where(pair_valid, p_ty * tx_n + p_tx, n_tiles)
 
-    order = jnp.argsort(tile)
-    tile_sorted = tile[order]
-    node_sorted = pair_node[order]
+    # One variadic sort carries the node id with its key — the
+    # argsort-then-gather form costs two extra 262k gathers (~3.5 ms
+    # each on TPU) for the same result.
+    tile_sorted, node_sorted = jax.lax.sort(
+        (tile, pair_node), num_keys=1
+    )
 
     # Kernel row layout: rc = r^2 - |c|^2 and rc4 = 4r^2 - |c|^2 fold
     # the self/bounding discriminants into one FMA each in the kernel
@@ -281,7 +423,7 @@ def bin_nodes(nodes, minv, cfg: RenderConfig, frame=None):
             4.0 * nodes["r2"] - nodes["cc"],
             nodes["lodr"],
             nodes["code"].astype(jnp.float32),
-            jnp.zeros_like(nodes["cx"]),
+            nodes["code_hi"].astype(jnp.float32),
         ]
     )  # [8, N]
     pairs = rows[:, node_sorted]  # [8, PAIR_CAP]
@@ -302,17 +444,19 @@ def bin_nodes(nodes, minv, cfg: RenderConfig, frame=None):
     )
 
 
-def make_pairs_kernel(win: int, n_tiles: int):
-    """Kernel body v2: windowed node loop with overlapped DMA + ILP.
+def make_pairs_kernel(win: int, n_tiles: int, deep: bool = False,
+                      group: int = 8):
+    """Kernel body v3: windowed node loop, overlapped DMA, ILP, and
+    `group` tiles per grid step.
 
     - **Segments of any length.** The tile's pair segment is consumed
       in `win`-pair windows (`lax.fori_loop` over windows), so no
       window cap can drop geometry — the round-2 SEG_WIN overflow
       failure mode is gone (and progressive-mode bundle spans, which
       cover many tiles, work on this kernel).
-    - **DMA overlapped with compute.** Window 0 of tile i+1 is
+    - **DMA overlapped with compute.** Window 0 of tile k+1 is
       prefetched into the other half of a double SMEM buffer while
-      tile i's node loop runs (scratch persists across TPU grid
+      tile k's node loop runs (scratch persists across TPU grid
       steps); only the rare windows >= 1 (segments longer than `win`)
       pay their DMA latency inline.
     - **ILP via 4 independent node chains.** Each loop iteration tests
@@ -321,29 +465,38 @@ def make_pairs_kernel(win: int, n_tiles: int):
       dependence of the round-2 kernel left the VPU idle between
       nodes. Per-node math is 2 FMAs + compares thanks to the
       precomputed rc/rc4 rows (`bin_nodes`).
+    - **`group` tiles per grid step** amortize the per-step prologue:
+      at ~59 candidates/tile the node loop runs ~0.3 us while the
+      per-step overhead was ~2.6 us — one step per tile left the VPU
+      idle 85% of the frame. `n_tiles` must be a multiple of `group`
+      (the wrapper pads; zero-length padded tiles cost two scalar
+      reads).
+    - **`deep` adds the hi code lane** (depth > 7): row 7 carries
+      code_hi and each chain selects a third accumulator.
     """
+    assert n_tiles % group == 0
+    stride = 3 if deep else 2
     buf_w = win + _LANES + _UNROLL  # aligned window + unroll overshoot
 
     def kernel(
         starts_ref,  # SMEM [T] scalar-prefetch
         lens_ref,  # SMEM [T] scalar-prefetch
-        dirs_ref,  # VMEM [1, 3, 8, 128]
+        dirs_ref,  # VMEM [group, 3, 8, 128]
         pairs_ref,  # ANY (HBM) [8, PAIR_CAP + win + 128]
-        out_ref,  # VMEM [1, 2, 8, 128]
-        mout_ref,  # SMEM [1, 1, 4]
+        out_ref,  # VMEM [group, 2 or 3, 8, 128]: t, code_lo[, code_hi]
+        mout_ref,  # SMEM [group, 4]
         qf,  # SMEM scratch [2, 8, buf_w] first-window double buffer
         qr,  # SMEM scratch [8, buf_w] windows >= 1
         sem_f,  # DMA semaphores [2]
         sem_r,  # DMA semaphore
     ):
         i = pl.program_id(0)
-        start = starts_ref[i]
-        length = lens_ref[i]
-        slot = jax.lax.rem(i, 2)
+        big = jnp.full((8, _LANES), _BIG, jnp.float32)
+        zero = jnp.zeros((8, _LANES), jnp.float32)
 
         def first_dma(tile_idx, dst_slot):
-            s = starts_ref[tile_idx]
-            base = pl.multiple_of((s // _LANES) * _LANES, _LANES)
+            st = starts_ref[tile_idx]
+            base = pl.multiple_of((st // _LANES) * _LANES, _LANES)
             return pltpu.make_async_copy(
                 pairs_ref.at[:, pl.ds(base, win + _LANES)],
                 qf.at[dst_slot, :, : win + _LANES],
@@ -354,88 +507,102 @@ def make_pairs_kernel(win: int, n_tiles: int):
         def _():
             first_dma(0, 0).start()
 
-        first_dma(i, slot).wait()
-        # Overlap the next tile's first window with this tile's loop.
-        @pl.when(i + 1 < n_tiles)
-        def _():
-            first_dma(i + 1, 1 - slot).start()
+        for g in range(group):
+            tile = i * group + g
+            slot = g & 1  # == tile % 2 for even `group`
+            first_dma(tile, slot).wait()
+            # Overlap the next tile's first window with this node loop.
+            @pl.when(tile + 1 < n_tiles)
+            def _():
+                first_dma(tile + 1, 1 - slot).start()
 
-        dx = dirs_ref[0, 0]
-        dy = dirs_ref[0, 1]
-        dz = dirs_ref[0, 2]
-        big = jnp.full((8, _LANES), _BIG, jnp.float32)
-        zero = jnp.zeros((8, _LANES), jnp.float32)
-        n_win = (length + win - 1) // win
+            start = starts_ref[tile]
+            length = lens_ref[tile]
+            dx = dirs_ref[g, 0]
+            dy = dirs_ref[g, 1]
+            dz = dirs_ref[g, 2]
+            n_win = (length + win - 1) // win
 
-        def window(w, acc, from_first):
-            wstart = start + w * win
-            base = pl.multiple_of((wstart // _LANES) * _LANES, _LANES)
-            off = wstart - base
-            cnt = jnp.minimum(length - w * win, win)
+            def window(w, acc, from_first, start=start, length=length,
+                       dx=dx, dy=dy, dz=dz, slot=slot):
+                wstart = start + w * win
+                base = pl.multiple_of((wstart // _LANES) * _LANES, _LANES)
+                off = wstart - base
+                cnt = jnp.minimum(length - w * win, win)
 
-            def load(r, idx):
-                return (
-                    qf[slot, r, idx] if from_first else qr[r, idx]
+                def load(r, idx):
+                    return qf[slot, r, idx] if from_first else qr[r, idx]
+
+                def node_quad(q, acc):
+                    acc = list(acc)
+                    for u in range(_UNROLL):
+                        k = q * _UNROLL + u
+                        idx = off + k
+                        cx = load(0, idx)
+                        cy = load(1, idx)
+                        cz = load(2, idx)
+                        rc = load(3, idx)
+                        rc4 = load(4, idx)
+                        lodr = load(5, idx)
+                        code = load(6, idx)
+                        tca = dx * cx + dy * cy + dz * cz
+                        t2 = tca * tca
+                        disc = t2 + rc  # r^2 - d^2
+                        c1 = tca - lodr
+                        # `SIMD_AVX.h:236-270` + the sqrt-free LOD gate.
+                        lod_ok = (c1 < 0.0) | (c1 * c1 < t2 + rc4)
+                        ok = (
+                            (tca >= 0.0) & lod_ok & (disc >= 0.0) & (k < cnt)
+                        )
+                        ts = tca - jnp.sqrt(jnp.maximum(disc, 0.0))
+                        bt, bc = acc[stride * u], acc[stride * u + 1]
+                        better = ok & (ts < bt)
+                        acc[stride * u] = jnp.where(better, ts, bt)
+                        acc[stride * u + 1] = jnp.where(better, code, bc)
+                        if deep:
+                            ch = load(7, idx)
+                            acc[stride * u + 2] = jnp.where(
+                                better, ch, acc[stride * u + 2]
+                            )
+                    return tuple(acc)
+
+                nq = (cnt + _UNROLL - 1) // _UNROLL
+                return jax.lax.fori_loop(0, nq, node_quad, acc, unroll=False)
+
+            acc0 = ((big, zero, zero) if deep else (big, zero)) * _UNROLL
+            acc = window(0, acc0, from_first=True)
+
+            def rest_body(w, acc, start=start):
+                wstart = start + w * win
+                base = pl.multiple_of((wstart // _LANES) * _LANES, _LANES)
+                cp = pltpu.make_async_copy(
+                    pairs_ref.at[:, pl.ds(base, win + _LANES)],
+                    qr.at[:, : win + _LANES],
+                    sem_r,
                 )
+                cp.start()
+                cp.wait()
+                return window(w, acc, from_first=False)
 
-            def node_quad(q, acc):
-                acc = list(acc)
-                for u in range(_UNROLL):
-                    k = q * _UNROLL + u
-                    idx = off + k
-                    cx = load(0, idx)
-                    cy = load(1, idx)
-                    cz = load(2, idx)
-                    rc = load(3, idx)
-                    rc4 = load(4, idx)
-                    lodr = load(5, idx)
-                    code = load(6, idx)
-                    tca = dx * cx + dy * cy + dz * cz
-                    t2 = tca * tca
-                    disc = t2 + rc  # r^2 - d^2
-                    c1 = tca - lodr
-                    # `SIMD_AVX.h:236-270` + the sqrt-free LOD gate.
-                    lod_ok = (c1 < 0.0) | (c1 * c1 < t2 + rc4)
-                    ok = (tca >= 0.0) & lod_ok & (disc >= 0.0) & (k < cnt)
-                    ts = tca - jnp.sqrt(jnp.maximum(disc, 0.0))
-                    bt, bc = acc[2 * u], acc[2 * u + 1]
-                    better = ok & (ts < bt)
-                    acc[2 * u] = jnp.where(better, ts, bt)
-                    acc[2 * u + 1] = jnp.where(better, code, bc)
-                return tuple(acc)
+            acc = jax.lax.fori_loop(1, n_win, rest_body, acc, unroll=False)
 
-            nq = (cnt + _UNROLL - 1) // _UNROLL
-            return jax.lax.fori_loop(0, nq, node_quad, acc, unroll=False)
-
-        acc0 = (big, zero) * _UNROLL
-        acc = window(0, acc0, from_first=True)
-
-        def rest_body(w, acc):
-            wstart = start + w * win
-            base = pl.multiple_of((wstart // _LANES) * _LANES, _LANES)
-            cp = pltpu.make_async_copy(
-                pairs_ref.at[:, pl.ds(base, win + _LANES)],
-                qr.at[:, : win + _LANES],
-                sem_r,
-            )
-            cp.start()
-            cp.wait()
-            return window(w, acc, from_first=False)
-
-        acc = jax.lax.fori_loop(1, n_win, rest_body, acc, unroll=False)
-
-        bt, bc = acc[0], acc[1]
-        for u in range(1, _UNROLL):
-            bu, cu = acc[2 * u], acc[2 * u + 1]
-            take = bu < bt
-            bt = jnp.where(take, bu, bt)
-            bc = jnp.where(take, cu, bc)
-        out_ref[0, 0] = bt
-        out_ref[0, 1] = bc
-        mout_ref[0, 0, 0] = length
-        mout_ref[0, 0, 1] = jnp.int32(0)  # windowed: nothing can drop
-        mout_ref[0, 0, 2] = jnp.int32(0)
-        mout_ref[0, 0, 3] = jnp.int32(0)
+            bt, bc = acc[0], acc[1]
+            bh = acc[2] if deep else None
+            for u in range(1, _UNROLL):
+                bu, cu = acc[stride * u], acc[stride * u + 1]
+                take = bu < bt
+                bt = jnp.where(take, bu, bt)
+                bc = jnp.where(take, cu, bc)
+                if deep:
+                    bh = jnp.where(take, acc[stride * u + 2], bh)
+            out_ref[g, 0] = bt
+            out_ref[g, 1] = bc
+            if deep:
+                out_ref[g, 2] = bh
+            mout_ref[g, 0] = length
+            mout_ref[g, 1] = jnp.int32(0)  # windowed: nothing can drop
+            mout_ref[g, 2] = jnp.int32(0)
+            mout_ref[g, 3] = jnp.int32(0)
 
     return kernel
 
@@ -450,16 +617,19 @@ def trace_pairs_pallas(
     interpret: bool = False,
 ):
     """Per-tile ray tests against binned segments (AoS dirs wrapper).
-    Returns (min_t [T, 1024], code [T, 1024], metrics [T, 1, 4])."""
+    Returns (min_t [T, 1024], code_lo [T, 1024], code_hi [T, 1024] or
+    None, metrics [T, 1, 4])."""
     T, rays, _ = tile_dirs.shape
     assert rays == 1024
     dirs_k = jnp.moveaxis(tile_dirs, 2, 1).reshape(T, 3, 8, _LANES)
     out, metrics = trace_pairs_pallas_soa(
         dirs_k, pairs, starts, lens, cfg, interpret=interpret
     )
+    code_hi = out[:, 2].reshape(T, rays) if out.shape[1] > 2 else None
     return (
         out[:, 0].reshape(T, rays),
         out[:, 1].reshape(T, rays),
+        code_hi,
         metrics,
     )
 
@@ -473,10 +643,23 @@ def trace_pairs_pallas_soa(
     cfg: RenderConfig,
     interpret: bool = False,
 ):
-    """SoA core: returns (out [T, 2, 8, 128], metrics [T, 1, 4])."""
+    """SoA core: returns (out [T, C, 8, 128], metrics [T, 1, 4]) with
+    C = 3 (t, code_lo, code_hi) when cfg.max_depth > 7, else 2."""
     T = dirs_k.shape[0]
+    deep = cfg.max_depth > 7
+    n_out = 3 if deep else 2
+    group = 8
+    Tp = -(-T // group) * group
     sg = jax.lax.stop_gradient
     dirs_t, pairs = sg((dirs_k, pairs))
+    if Tp != T:
+        dirs_t = jnp.concatenate(
+            [dirs_t, jnp.zeros((Tp - T, 3, 8, _LANES), dirs_t.dtype)]
+        )
+        starts = jnp.concatenate(
+            [starts, jnp.zeros((Tp - T,), starts.dtype)]
+        )
+        lens = jnp.concatenate([lens, jnp.zeros((Tp - T,), lens.dtype)])
     # Pad so the last window's DMA never reads out of bounds; padding
     # carries rc = rc4 = -BIG so no test can pass on it.
     pad = jnp.zeros((8, SEG_WIN + _LANES), pairs.dtype)
@@ -484,13 +667,13 @@ def trace_pairs_pallas_soa(
     pairs_pad = jnp.concatenate([pairs, pad], axis=1)
 
     buf_w = SEG_WIN + _LANES + _UNROLL
-    kernel = make_pairs_kernel(SEG_WIN, T)
+    kernel = make_pairs_kernel(SEG_WIN, Tp, deep=deep, group=group)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(T,),
+        grid=(Tp // group,),
         in_specs=[
             pl.BlockSpec(
-                (1, 3, 8, _LANES),
+                (group, 3, 8, _LANES),
                 lambda i, s, l: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -498,12 +681,12 @@ def trace_pairs_pallas_soa(
         ],
         out_specs=(
             pl.BlockSpec(
-                (1, 2, 8, _LANES),
+                (group, n_out, 8, _LANES),
                 lambda i, s, l: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, 4), lambda i, s, l: (i, 0, 0),
+                (group, 4), lambda i, s, l: (i, 0),
                 memory_space=pltpu.SMEM,
             ),
         ),
@@ -518,18 +701,20 @@ def trace_pairs_pallas_soa(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((T, 2, 8, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((T, 1, 4), jnp.int32),
+            jax.ShapeDtypeStruct((Tp, n_out, 8, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, 4), jnp.int32),
         ),
         interpret=interpret,
     )(starts, lens, dirs_t, pairs_pad)
-    return out, metrics
+    return out[:T], metrics[:T].reshape(T, 1, 4)
 
 
 def binned_pairs(
     scene, cfg: RenderConfig, root: Array, templates: Array, frame=None
 ):
-    """Global expansion + binning: (pairs, starts, lens, aux metrics).
+    """Global expansion + binning: (pairs, starts, lens, (n_pairs,
+    overflow)) — overflow counts pair-table AND deep-level compaction
+    drops.
 
     `frame` = (frame_w, frame_h, x_off, y_off) when cfg describes one
     device's block of a larger sharded frame (see `bin_nodes`)."""
@@ -544,9 +729,14 @@ def binned_pairs(
         x_off=x_off, y_off=y_off,
         block_h=cfg.padded_height, block_w=cfg.padded_width,
     )[0]  # one "tile" = this device's whole block
-    nodes = expand_global(root, templates, scene.fractal, cfg, block_planes)
+    nodes, exp_overflow = expand_global(
+        root, templates, scene.fractal, cfg, block_planes
+    )
     minv = corner_basis(scene.camera, frame_w, frame_h)
-    return bin_nodes(nodes, minv, cfg, frame=frame)
+    pairs, starts, lens, (n_pairs, pair_ovf) = bin_nodes(
+        nodes, minv, cfg, frame=frame
+    )
+    return pairs, starts, lens, (n_pairs, pair_ovf + exp_overflow)
 
 
 def trace_tiles_binned(
@@ -564,16 +754,14 @@ def trace_tiles_binned(
         scene, cfg, root, templates, frame=frame
     )
     interpret = jax.default_backend() != "tpu"
-    min_t_k, code, m = trace_pairs_pallas(
+    min_t_k, code, code_hi, m = trace_pairs_pallas(
         tiles, pairs, starts, lens, cfg, interpret=interpret
     )
     min_t, center, hit = resolve_codes(
-        tiles, code, root, templates, scene.fractal, cfg
+        tiles, code, root, templates, scene.fractal, cfg, code_hi_f=code_hi
     )
+    from sphereflake_tpu.ops.pallas_traversal import depth_reached_soa
+
     overflow = jnp.sum(m[:, 0, 1]) + pair_overflow
-    # Deepest live level from the code magnitudes (log9 of max code).
-    max_code = jnp.max(code).astype(jnp.int32)
-    depth_reached = jnp.zeros((), jnp.int32)
-    for k in range(1, cfg.max_depth + 1):
-        depth_reached = depth_reached + (max_code >= 9**k).astype(jnp.int32)
+    depth_reached = depth_reached_soa(code, cfg, code_hi)
     return min_t, center, hit, depth_reached, jnp.sum(m[:, 0, 0]), overflow

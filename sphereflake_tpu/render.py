@@ -233,15 +233,17 @@ def _render_gbuffer_soa(scene: SceneParams, cfg: RenderConfig) -> GBuffer:
         )
         nodes_n = jnp.sum(m[:, 0, 0])
         overflow = jnp.sum(m[:, 0, 1]) + pair_ovf
-        max_code = jnp.max(out[:, 1]).astype(jnp.int32)
-        depth_r = jnp.zeros((), jnp.int32)
-        for k in range(1, cfg.max_depth + 1):
-            depth_r = depth_r + (max_code >= 9**k).astype(jnp.int32)
+
+    from sphereflake_tpu.ops.pallas_traversal import depth_reached_soa
 
     code = out[:, 1].reshape(-1)
+    code_hi = out[:, 2].reshape(-1) if out.shape[1] > 2 else None
+    if cfg.algorithm == "binned":
+        depth_r = depth_reached_soa(code, cfg, code_hi)
     dx, dy, dz = (t.reshape(-1) for t in tiled)
     min_t, cx, cy, cz, hit = resolve_codes_soa(
-        dx, dy, dz, code, root, templates, scene.fractal, cfg
+        dx, dy, dz, code, root, templates, scene.fractal, cfg,
+        code_hi_f=code_hi,
     )
     # Shading, SoA (same math as `ops.traversal.shade_gbuffer`).
     t0 = jnp.where(hit, min_t, 0.0)
@@ -277,9 +279,113 @@ def _render_gbuffer_soa(scene: SceneParams, cfg: RenderConfig) -> GBuffer:
     )
 
 
+def _render_gbuffer_banded(scene: SceneParams, cfg: RenderConfig) -> GBuffer:
+    """Binned pipeline over horizontal bands (`cfg.effective_band_rows`
+    tile rows each): every stage — expansion, binning, ray kernel,
+    resolve, shading — runs per band inside one `lax.map`, so the live
+    working set is one band's pair table + planes regardless of frame
+    size. This is what makes single-device 16384^2 frames possible
+    (`/root/reference/README.md:51`); multi-host sharding composes on
+    top (each device block runs its own bands if needed)."""
+    import dataclasses
+
+    from sphereflake_tpu.camera import corner_rays
+    from sphereflake_tpu.models.sphereflake import child_templates, root_frame
+    from sphereflake_tpu.ops.binned import binned_pairs, trace_pairs_pallas_soa
+    from sphereflake_tpu.ops.intersect import safe_sqrt
+    from sphereflake_tpu.ops.pallas_traversal import resolve_codes_soa
+
+    band_rows = cfg.effective_band_rows
+    n_bands = cfg.tiles_y // band_rows
+    band_px = band_rows * cfg.tile_h
+    bcfg = dataclasses.replace(
+        cfg, height=band_px, band_tile_rows=None,
+        width=cfg.padded_width,
+    )
+    Tb = bcfg.tiles_y * bcfg.tiles_x
+    rays = cfg.tile_h * cfg.tile_w
+
+    origin, tl, tr, bl = corner_rays(scene.camera, cfg.width / cfg.height)
+    ex, ey = tr - tl, bl - tl
+    root = root_frame(scene.camera.position)
+    templates = child_templates(scene.fractal)
+    interpret = jax.default_backend() != "tpu"
+
+    def band(b):
+        y0 = b * band_px
+        u = jnp.arange(cfg.padded_width, dtype=jnp.float32)[None, :] / cfg.width
+        v = (jnp.arange(band_px, dtype=jnp.float32)[:, None]
+             + y0.astype(jnp.float32)) / cfg.height
+        comps = [(tl[a] + (ex[a] * u + ey[a] * v)) - origin[a] for a in range(3)]
+        dnorm = jnp.sqrt(comps[0] ** 2 + comps[1] ** 2 + comps[2] ** 2)
+        tiled = [_tile(c / dnorm, bcfg) for c in comps]
+        dirs_k = jnp.stack([t.reshape(Tb, 8, 128) for t in tiled], axis=1)
+
+        frame = (cfg.width, cfg.height, 0.0, y0.astype(jnp.float32))
+        pairs, starts, lens, (_n, povf) = binned_pairs(
+            scene, bcfg, root, templates, frame=frame
+        )
+        out, m = trace_pairs_pallas_soa(
+            dirs_k, pairs, starts, lens, bcfg, interpret=interpret
+        )
+        code = out[:, 1].reshape(-1)
+        code_hi = out[:, 2].reshape(-1) if out.shape[1] > 2 else None
+        dx, dy, dz = (t.reshape(-1) for t in tiled)
+        min_t, cx, cy, cz, hit = resolve_codes_soa(
+            dx, dy, dz, code, root, templates, scene.fractal, cfg,
+            code_hi_f=code_hi,
+        )
+        t0 = jnp.where(hit, min_t, 0.0)
+        px, py, pz = dx * t0, dy * t0, dz * t0
+        wx, wy, wz = px - cx, py - cy, pz - cz
+        nn = safe_sqrt(wx * wx + wy * wy + wz * wz)
+        nn = jnp.where(nn > 0, nn, 1.0)
+        hf = hit
+        pos = jnp.stack(
+            [jnp.where(hf, p, 0.0) for p in (px, py, pz)], axis=-1
+        ).reshape(Tb, rays, 3)
+        nrm = jnp.stack(
+            [jnp.where(hf, w / nn, 0.0) for w in (wx, wy, wz)], axis=-1
+        ).reshape(Tb, rays, 3)
+        from sphereflake_tpu.ops.pallas_traversal import depth_reached_soa
+
+        band_depth = depth_reached_soa(code, cfg, code_hi)
+        return (
+            pos, nrm, min_t.reshape(Tb, rays), hit.reshape(Tb, rays),
+            band_depth, jnp.sum(m[:, 0, 0]), jnp.sum(m[:, 0, 1]) + povf,
+        )
+
+    pos_b, nrm_b, mt_b, hit_b, band_depth, nodes_n, ovf = jax.lax.map(
+        band, jnp.arange(n_bands)
+    )
+
+    def full(x):
+        return _untile(x.reshape(n_bands * Tb, rays, *x.shape[3:]), cfg)
+
+    min_t_img = full(mt_b)
+    hit_img = full(hit_b)
+    depth_r = jnp.max(band_depth)
+    metrics = RenderMetrics(
+        max_depth_reached=depth_r,
+        nodes_visited=jnp.sum(nodes_n),
+        overflow=jnp.sum(ovf),
+        closest_distance=jnp.min(jnp.where(hit_img, min_t_img, _BIG)),
+        rays_traced=jnp.int32(cfg.width * cfg.height),
+    )
+    return GBuffer(
+        position=full(pos_b),
+        normal=full(nrm_b),
+        min_t=min_t_img,
+        hit=hit_img,
+        metrics=metrics,
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def render_gbuffer(scene: SceneParams, cfg: RenderConfig) -> GBuffer:
     """Render the full-frame G-buffer for `scene` (pure, differentiable)."""
+    if cfg.algorithm == "binned" and cfg.effective_band_rows is not None:
+        return _render_gbuffer_banded(scene, cfg)
     if cfg.algorithm in ("pallas", "binned"):
         return _render_gbuffer_soa(scene, cfg)
 

@@ -161,13 +161,14 @@ def progressive_step(
             t_lo, t_hi = tid_sorted[:, 0], tid_sorted[:, -1]
             b_start = jnp.take(t_starts, t_lo)
             b_len = jnp.take(t_starts, t_hi) + jnp.take(t_lens, t_hi) - b_start
-            _, code, m = trace_pairs_pallas(
+            _, code, code_hi, m = trace_pairs_pallas(
                 groups, pairs, b_start, b_len, cfg, interpret=interpret
             )
-            depth_r = jnp.zeros((), jnp.int32)
-            max_code = jnp.max(code).astype(jnp.int32)
-            for k in range(1, cfg.max_depth + 1):
-                depth_r = depth_r + (max_code >= 9**k).astype(jnp.int32)
+            from sphereflake_tpu.ops.pallas_traversal import (
+                depth_reached_soa,
+            )
+
+            depth_r = depth_reached_soa(code, cfg, code_hi)
             overflow = jnp.sum(m[:, 0, 1]) + pair_ovf
         else:
             from sphereflake_tpu.camera import bundle_frustum_planes
@@ -180,10 +181,12 @@ def progressive_step(
                 groups, planes, root, templates, scene.fractal, cfg,
                 interpret=interpret,
             )
+            code_hi = None
             depth_r = jnp.max(m[:, 0, 2])
             overflow = jnp.sum(m[:, 0, 1])
         mt_s, center_s, hit_s = resolve_codes(
-            groups, code, root, templates, scene.fractal, cfg
+            groups, code, root, templates, scene.fractal, cfg,
+            code_hi_f=code_hi,
         )
         inv = jnp.argsort(order, stable=True)
         res = TraceResult(

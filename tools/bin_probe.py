@@ -34,7 +34,7 @@ def stage_fn(stage, cfg):
             cfg.padded_height, cfg.padded_width,
             block_h=cfg.padded_height, block_w=cfg.padded_width,
         )[0]
-        nodes = expand_global(root, templates, scene.fractal, cfg, frame_planes)
+        nodes, _exp_ovf = expand_global(root, templates, scene.fractal, cfg, frame_planes)
         if stage == "expand":
             return jnp.sum(nodes["cx"] * 1e-3)
         minv = corner_basis(scene.camera, cfg.width, cfg.height)
@@ -81,19 +81,36 @@ def stage_fn(stage, cfg):
 
         first = offsets - counts
         slot = jnp.where((counts > 0) & (first < PAIR_CAP), first, PAIR_CAP)
-        marks = jnp.zeros((PAIR_CAP + 1,), jnp.int32).at[slot].max(
-            jnp.arange(counts.shape[0], dtype=jnp.int32)
-        )[:PAIR_CAP]
-        pair_node = jax.lax.associative_scan(jnp.maximum, marks)
-        pair_rank = jnp.arange(PAIR_CAP, dtype=jnp.int32) - jnp.take(
-            first, pair_node
-        )
-        pair_valid = pair_rank < jnp.take(counts, pair_node)
-        nb_w = jnp.take(bw, pair_node)
-        nb_x0 = jnp.take(tx0, pair_node)
-        nb_y0 = jnp.take(ty0, pair_node)
-        p_tx = nb_x0 + pair_rank % jnp.maximum(nb_w, 1)
-        p_ty = nb_y0 + pair_rank // jnp.maximum(nb_w, 1)
+        from sphereflake_tpu.ops.binned import _running_max_1d
+        iota_p = jnp.arange(PAIR_CAP, dtype=jnp.int32)
+
+        def mark(values):
+            return jnp.full((PAIR_CAP + 1,), -1, jnp.int32).at[slot].max(
+                values)[:PAIR_CAP]
+
+        node_ids = jnp.arange(counts.shape[0], dtype=jnp.int32)
+        if stage == "scatter1":
+            return jnp.sum(mark(node_ids).astype(jnp.float32)) * 1e-9
+        if stage == "scan1":
+            return jnp.sum(
+                _running_max_1d(mark(node_ids)).astype(jnp.float32)) * 1e-9
+
+        fbits = max(1, (PAIR_CAP - 1).bit_length())
+        abits = 31 - fbits
+        amask = (1 << abits) - 1
+        pair_node = _running_max_1d(mark(node_ids))
+        pk_x0 = _running_max_1d(mark((first << abits) | tx0))
+        pk_y0 = _running_max_1d(mark((first << abits) | ty0))
+        pk_bw = _running_max_1d(mark((first << abits) | bw))
+        if stage == "fills4":
+            return jnp.sum((pair_node + pk_x0 + pk_y0 + pk_bw
+                            ).astype(jnp.float32)) * 1e-9
+        p_first = pk_x0 >> abits
+        pair_rank = iota_p - p_first
+        pair_valid = iota_p < offsets[-1]
+        nb_w = jnp.maximum(pk_bw & amask, 1)
+        p_tx = (pk_x0 & amask) + pair_rank % nb_w
+        p_ty = (pk_y0 & amask) + pair_rank // nb_w
         tile = jnp.where(pair_valid, p_ty * tx_n + p_tx, n_tiles)
         if stage == "decode":
             return jnp.sum(tile.astype(jnp.float32)) * 1e-9
@@ -103,14 +120,16 @@ def stage_fn(stage, cfg):
             return jnp.sum(order.astype(jnp.float32)) * 1e-9
         tile_sorted = tile[order]
         node_sorted = pair_node[order]
+        if stage == "reorder":
+            return jnp.sum((tile_sorted + node_sorted
+                            ).astype(jnp.float32)) * 1e-9
         rows = jnp.stack([
-            nodes["cx"], nodes["cy"], nodes["cz"], nodes["cc"],
-            nodes["r2"], nodes["lodr"],
-            nodes["code"].astype(jnp.float32), jnp.zeros_like(nodes["cx"]),
+            nodes["cx"], nodes["cy"], nodes["cz"],
+            nodes["r2"] - nodes["cc"], 4.0 * nodes["r2"] - nodes["cc"],
+            nodes["lodr"], nodes["code"].astype(jnp.float32),
+            jnp.zeros_like(nodes["cx"]),
         ])
         pairs = rows[:, node_sorted]
-        dead = tile_sorted >= n_tiles
-        pairs = pairs.at[4, :].set(jnp.where(dead, -1.0, pairs[4, :]))
         starts = jnp.searchsorted(tile_sorted,
                                   jnp.arange(n_tiles, dtype=jnp.int32))
         ends = jnp.searchsorted(tile_sorted,
@@ -156,7 +175,7 @@ def main(depth=6):
         float(frames_fn(sc))
         return time.perf_counter() - t0
 
-    for stage in ["expand", "counts", "decode", "sort", "gather"]:
+    for stage in ["counts", "scatter1", "scan1", "fills4", "decode", "sort", "reorder", "gather"]:
         body = stage_fn(stage, cfg)
         f2, f22 = make_scan(body, 2), make_scan(body, 22)
         tc0 = time.perf_counter()

@@ -62,7 +62,7 @@ def stage_fn(stage, cfg):
             cfg.padded_height, cfg.padded_width,
             block_h=cfg.padded_height, block_w=cfg.padded_width,
         )[0]
-        nodes = expand_global(root, templates, scene.fractal, cfg, frame_planes)
+        nodes, _exp_ovf = expand_global(root, templates, scene.fractal, cfg, frame_planes)
         if stage == "expand":
             return (jnp.sum(nodes["live"].astype(jnp.int32)).astype(jnp.float32)
                     + jnp.sum(dirs_k[:, 0, 0, 0]))
