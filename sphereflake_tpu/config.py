@@ -171,11 +171,12 @@ class RenderConfig:
     # ~2048-tile bands.
     band_tile_rows: int | None = None
     # Binned path: live-node capacity per fractal level once the dense
-    # level width would exceed ~600k nodes (depth >= 7). The LOD cut
-    # keeps live counts far below the dense width at depth (the
-    # reference's recursion is unbounded for the same reason,
-    # `Sphereflake.h:146-153`); overflow is counted, never silent.
-    global_cap: int = 1 << 17
+    # level width would exceed it (level >= 5 at the default). The LOD
+    # cut keeps live counts far below the dense width (the reference's
+    # recursion is unbounded for the same reason,
+    # `Sphereflake.h:146-153`); overflow is counted, never silent, and
+    # the compaction drops farthest-first.
+    global_cap: int = 1 << 16
     ssao_downscale: int = 1  # SSAO target downscale (main.cpp:118 uses 1)
     noise_size: int = 64  # SSAO noise texture size (SSAO.h:4)
     background: float = 0.0  # sky writes zeros (post_final.glsl:20-24)

@@ -96,16 +96,15 @@ def _running_max_1d(x: Array) -> Array:
 
 
 _POW7 = 9**7  # path-code hi/lo split: lo < 9^7 stays f32-exact
-_DENSE_MAX = 600_000  # widest dense level kept (9^6 = 531441)
 DEEP_MAX_DEPTH = 14  # hi < 9^7 bound on the two-lane code
 
 
 def _level_sizes(cfg: RenderConfig) -> list[int]:
-    """Static emitted node count per level: dense 9^l while that stays
-    under ~600k, then compacted to cfg.global_cap live nodes."""
+    """Static emitted node count per level: dense 9^l while that fits
+    cfg.global_cap, then compacted to the cap's closest live nodes."""
     sizes, n = [], 1
     for _ in range(cfg.max_depth + 1):
-        sizes.append(min(n, cfg.global_cap) if n > _DENSE_MAX else n)
+        sizes.append(min(n, cfg.global_cap))
         n = 9 * sizes[-1]
     return sizes
 
@@ -120,13 +119,14 @@ def expand_global(
     """Levelwise SoA expansion of the whole LOD-passing tree.
 
     Levels stay DENSE (masked, no data movement) while their 9^l width
-    is under ~600k — elementwise masked math is cheaper on the VPU than
-    compaction, and the dense level-6 walk measures ~0.1 ms. Wider
-    levels (depth >= 7) are compacted to `cfg.global_cap` live nodes
-    before emission, which is what makes the reference's UNBOUNDED
-    LOD-terminated recursion depth (`Sphereflake.h:146-153`)
-    reachable: an approach dive to level 14 expands only the live
-    frontier, never the 9^14 dense tree.
+    fits `cfg.global_cap`; wider levels are compacted to the cap's
+    CLOSEST live nodes before emission. Two jobs at once: (a) the
+    binning stage downstream is index-bound (TPU scatters cost ~3-8
+    ns/index), so feeding it ~73k node slots instead of the dense 597k
+    is most of its speed; (b) the reference's UNBOUNDED LOD-terminated
+    recursion depth (`Sphereflake.h:146-153`) becomes reachable — an
+    approach dive to level 14 expands only the live frontier, never
+    the 9^14 dense tree.
 
     Path codes ride two lanes (code = hi * 9^7 + lo) so depths past 7
     stay exact in f32 kernel rows (`DEEP_MAX_DEPTH` = 14).
@@ -190,52 +190,48 @@ def expand_global(
         out["rad"].append(jnp.full((n,), 1.0, jnp.float32) * (2.0 * radius))
 
     def compact(r, t, lo, hi, live):
-        """Batched-scatter compaction of live nodes to [cap] slots.
+        """Sort-and-gather compaction of live nodes to [cap] slots.
 
-        One f32 scatter moves all 14 component rows (codes bitcast);
-        live ranks are unique, dead nodes aim out of bounds and drop.
-
-        When live > cap the FARTHEST nodes are dropped (distance
-        threshold from a sort), matching LOD semantics — an
-        array-order drop would discard whichever subtree happens to
-        sit last, which at a dive pose is the near-camera geometry
-        the dive exists to reveal.
+        One stable sort by (dead, distance) keys orders the closest
+        live nodes first; a 14-row shared-index gather then moves the
+        components (codes bitcast through f32). Sort + gather beat the
+        scatter formulation ~3x on TPU (gathers ~0.6 ns/element vs
+        scatters ~3 ns/index — docs/PERF.md), and the distance key
+        makes the over-cap drop policy LOD-consistent: the FARTHEST
+        nodes go, never the near subtree an approach dive exists to
+        reveal.
         """
         n = live.shape[0]
         total_all = jnp.sum(live.astype(jnp.int32))
         cc = t[0] * t[0] + t[1] * t[1] + t[2] * t[2]
         key = jnp.where(live, cc, _BIG)
-        kth = jnp.sort(key)[jnp.minimum(cap, n) - 1]
-        live = live & (key <= kth)  # ties may still exceed cap; rank-clip
-        rank = jnp.cumsum(live.astype(jnp.int32)) - 1
-        total = jnp.where(n > 0, rank[-1] + 1, 0)
-        slot = jnp.where(live & (rank < cap), rank, cap)
-        total = jnp.minimum(total, total_all)
+        _, idx = jax.lax.sort(
+            (key, jnp.arange(n, dtype=jnp.int32)), num_keys=1,
+            is_stable=True,
+        )
+        idx = idx[:cap]
         f32 = jax.lax.bitcast_convert_type
         rows = jnp.stack(
             r + t + [f32(lo, jnp.float32), f32(hi, jnp.float32)]
         )  # [14, n]
-        packed = (
-            jnp.zeros((14, cap), jnp.float32)
-            .at[:, slot]
-            .set(rows, mode="drop", unique_indices=True)
-        )
+        packed = rows[:, idx]  # [14, cap]
+        total = jnp.minimum(total_all, cap)
         i32 = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
-        new_live = jnp.arange(cap, dtype=jnp.int32) < jnp.minimum(total, cap)
+        new_live = jnp.arange(cap, dtype=jnp.int32) < total
         return (
             [packed[k] for k in range(9)],
             [packed[9 + a] for a in range(3)],
             i32(packed[12]),
             i32(packed[13]),
             new_live,
-            jnp.maximum(total_all - jnp.minimum(total, cap), 0),
+            jnp.maximum(total_all - cap, 0),
         )
 
     radius = radius0
     live = cull(t, live, radius)
     emit(t, lo, hi, live, radius)
     for _level in range(depth):
-        if 9 * live.shape[0] > _DENSE_MAX:
+        if live.shape[0] > cap:
             r, t, lo, hi, live, ovf = compact(r, t, lo, hi, live)
             overflow = overflow + ovf
         scale = (1.0 + ratio) * radius
@@ -265,8 +261,8 @@ def expand_global(
         radius = radius * ratio
         live = cull(t, live, radius)
         # Compact wide levels before emission too, so the binning
-        # stage's arrays stay ~global_cap per deep level.
-        if n9 > _DENSE_MAX:
+        # stage's arrays stay <= global_cap per level.
+        if n9 > cap:
             r, t, lo, hi, live, ovf = compact(r, t, lo, hi, live)
             overflow = overflow + ovf
         emit(t, lo, hi, live, radius)
@@ -472,10 +468,14 @@ def make_pairs_kernel(win: int, n_tiles: int, deep: bool = False,
       (the wrapper pads; zero-length padded tiles cost two scalar
       reads).
     - **`deep` adds the hi code lane** (depth > 7): row 7 carries
-      code_hi and each chain selects a third accumulator.
+      code_hi and each chain selects one more accumulator.
+    - **The winner's center rides along** (cx, cy, cz accumulators —
+      the components are already loaded for `tca`): the forward pass
+      then needs NO `resolve_codes` re-walk at all; gradients recompute
+      it in the custom VJP (`binned_trace_vjp`).
     """
     assert n_tiles % group == 0
-    stride = 3 if deep else 2
+    stride = 6 if deep else 5
     buf_w = win + _LANES + _UNROLL  # aligned window + unroll overshoot
 
     def kernel(
@@ -483,7 +483,7 @@ def make_pairs_kernel(win: int, n_tiles: int, deep: bool = False,
         lens_ref,  # SMEM [T] scalar-prefetch
         dirs_ref,  # VMEM [group, 3, 8, 128]
         pairs_ref,  # ANY (HBM) [8, PAIR_CAP + win + 128]
-        out_ref,  # VMEM [group, 2 or 3, 8, 128]: t, code_lo[, code_hi]
+        out_ref,  # VMEM [group, 5|6, 8, 128]: t, lo[, hi], cx, cy, cz
         mout_ref,  # SMEM [group, 4]
         qf,  # SMEM scratch [2, 8, buf_w] first-window double buffer
         qr,  # SMEM scratch [8, buf_w] windows >= 1
@@ -555,21 +555,26 @@ def make_pairs_kernel(win: int, n_tiles: int, deep: bool = False,
                             (tca >= 0.0) & lod_ok & (disc >= 0.0) & (k < cnt)
                         )
                         ts = tca - jnp.sqrt(jnp.maximum(disc, 0.0))
-                        bt, bc = acc[stride * u], acc[stride * u + 1]
+                        a = stride * u
+                        bt = acc[a]
                         better = ok & (ts < bt)
-                        acc[stride * u] = jnp.where(better, ts, bt)
-                        acc[stride * u + 1] = jnp.where(better, code, bc)
+                        sel = lambda new, old: jnp.where(better, new, old)
+                        acc[a] = sel(ts, bt)
+                        acc[a + 1] = sel(code, acc[a + 1])
                         if deep:
-                            ch = load(7, idx)
-                            acc[stride * u + 2] = jnp.where(
-                                better, ch, acc[stride * u + 2]
-                            )
+                            acc[a + 2] = sel(load(7, idx), acc[a + 2])
+                        b = a + stride - 3
+                        acc[b] = sel(cx, acc[b])
+                        acc[b + 1] = sel(cy, acc[b + 1])
+                        acc[b + 2] = sel(cz, acc[b + 2])
                     return tuple(acc)
 
                 nq = (cnt + _UNROLL - 1) // _UNROLL
                 return jax.lax.fori_loop(0, nq, node_quad, acc, unroll=False)
 
-            acc0 = ((big, zero, zero) if deep else (big, zero)) * _UNROLL
+            acc0 = (
+                (big,) + (zero,) * (stride - 1)
+            ) * _UNROLL
             acc = window(0, acc0, from_first=True)
 
             def rest_body(w, acc, start=start):
@@ -586,19 +591,13 @@ def make_pairs_kernel(win: int, n_tiles: int, deep: bool = False,
 
             acc = jax.lax.fori_loop(1, n_win, rest_body, acc, unroll=False)
 
-            bt, bc = acc[0], acc[1]
-            bh = acc[2] if deep else None
+            best = list(acc[:stride])
             for u in range(1, _UNROLL):
-                bu, cu = acc[stride * u], acc[stride * u + 1]
-                take = bu < bt
-                bt = jnp.where(take, bu, bt)
-                bc = jnp.where(take, cu, bc)
-                if deep:
-                    bh = jnp.where(take, acc[stride * u + 2], bh)
-            out_ref[g, 0] = bt
-            out_ref[g, 1] = bc
-            if deep:
-                out_ref[g, 2] = bh
+                take = acc[stride * u] < best[0]
+                for c in range(stride):
+                    best[c] = jnp.where(take, acc[stride * u + c], best[c])
+            for c in range(stride):
+                out_ref[g, c] = best[c]
             mout_ref[g, 0] = length
             mout_ref[g, 1] = jnp.int32(0)  # windowed: nothing can drop
             mout_ref[g, 2] = jnp.int32(0)
@@ -618,14 +617,16 @@ def trace_pairs_pallas(
 ):
     """Per-tile ray tests against binned segments (AoS dirs wrapper).
     Returns (min_t [T, 1024], code_lo [T, 1024], code_hi [T, 1024] or
-    None, metrics [T, 1, 4])."""
+    None, metrics [T, 1, 4]). (The SoA core also carries the winner's
+    center — rows [-3:] — which this wrapper drops.)"""
     T, rays, _ = tile_dirs.shape
     assert rays == 1024
     dirs_k = jnp.moveaxis(tile_dirs, 2, 1).reshape(T, 3, 8, _LANES)
     out, metrics = trace_pairs_pallas_soa(
         dirs_k, pairs, starts, lens, cfg, interpret=interpret
     )
-    code_hi = out[:, 2].reshape(T, rays) if out.shape[1] > 2 else None
+    deep = cfg.max_depth > 7
+    code_hi = out[:, 2].reshape(T, rays) if deep else None
     return (
         out[:, 0].reshape(T, rays),
         out[:, 1].reshape(T, rays),
@@ -644,10 +645,11 @@ def trace_pairs_pallas_soa(
     interpret: bool = False,
 ):
     """SoA core: returns (out [T, C, 8, 128], metrics [T, 1, 4]) with
-    C = 3 (t, code_lo, code_hi) when cfg.max_depth > 7, else 2."""
+    rows (t, code_lo[, code_hi], cx, cy, cz): C = 6 when
+    cfg.max_depth > 7, else 5."""
     T = dirs_k.shape[0]
     deep = cfg.max_depth > 7
-    n_out = 3 if deep else 2
+    n_out = 6 if deep else 5
     group = 8
     Tp = -(-T // group) * group
     sg = jax.lax.stop_gradient
@@ -765,3 +767,82 @@ def trace_tiles_binned(
     overflow = jnp.sum(m[:, 0, 1]) + pair_overflow
     depth_reached = depth_reached_soa(code, cfg, code_hi)
     return min_t, center, hit, depth_reached, jnp.sum(m[:, 0, 0]), overflow
+
+
+def _trace_primal(statics, scene, dirs_k, offs):
+    cfg, frame_w, frame_h, interpret = statics
+    from sphereflake_tpu.models.sphereflake import child_templates, root_frame
+
+    root = root_frame(scene.camera.position)
+    templates = child_templates(scene.fractal)
+    pairs, starts, lens, (_n, povf) = binned_pairs(
+        scene, cfg, root, templates,
+        frame=(frame_w, frame_h, offs[0], offs[1]),
+    )
+    out, m = trace_pairs_pallas_soa(
+        dirs_k, pairs, starts, lens, cfg, interpret=interpret
+    )
+    deep = cfg.max_depth > 7
+    t = out[:, 0].reshape(-1)
+    lo = out[:, 1].reshape(-1)
+    hi = out[:, 2].reshape(-1) if deep else jnp.zeros_like(lo)
+    cx = out[:, -3].reshape(-1)
+    cy = out[:, -2].reshape(-1)
+    cz = out[:, -1].reshape(-1)
+    hit = (lo >= 1.0) | (hi >= 1.0)
+    min_t = jnp.where(hit, t, _BIG)
+    return min_t, cx, cy, cz, hit, lo, hi, m, povf
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def binned_trace(statics, scene, dirs_k, offs):
+    """Forward binned trace WITHOUT the resolve re-walk: the kernel
+    already computed the winner's t and center, so the primal reads
+    them straight out of the kernel rows (saving the ~2 ms
+    `resolve_codes` pass per frame). Differentiability is preserved by
+    a custom VJP whose backward re-derives (min_t, center) from the
+    saved path codes via `resolve_codes_soa` and pulls the cotangents
+    through that recomputation — the same straight-through-selection
+    gradient the resolve-based forward produced (recompute-based
+    backward, SURVEY §7 stage 5).
+
+    statics = (cfg, frame_w, frame_h, interpret); offs = (x_off, y_off)
+    traced pixel offsets of this block within the frame.
+    Returns (min_t, cx, cy, cz, hit, code_lo, code_hi, metrics,
+    pair_overflow); the code outputs are non-differentiable.
+    """
+    return _trace_primal(statics, scene, dirs_k, offs)
+
+
+def _trace_fwd(statics, scene, dirs_k, offs):
+    outs = _trace_primal(statics, scene, dirs_k, offs)
+    lo, hi = outs[5], outs[6]
+    return outs, (scene, dirs_k, offs, lo, hi)
+
+
+def _trace_bwd(statics, res, cts):
+    cfg = statics[0]
+    scene, dirs_k, offs, lo, hi = res
+    g_min_t, g_cx, g_cy, g_cz = cts[0], cts[1], cts[2], cts[3]
+    from sphereflake_tpu.models.sphereflake import child_templates, root_frame
+    from sphereflake_tpu.ops.pallas_traversal import resolve_codes_soa
+
+    def h(scene, dirs_k):
+        dx = dirs_k[:, 0].reshape(-1)
+        dy = dirs_k[:, 1].reshape(-1)
+        dz = dirs_k[:, 2].reshape(-1)
+        root = root_frame(scene.camera.position)
+        templates = child_templates(scene.fractal)
+        min_t, cx, cy, cz, _ = resolve_codes_soa(
+            dx, dy, dz, lo, root, templates, scene.fractal, cfg,
+            code_hi_f=hi if cfg.max_depth > 7 else None,
+        )
+        return min_t, cx, cy, cz
+
+    _, vjp = jax.vjp(h, scene, dirs_k)
+    g_scene, g_dirs = vjp((g_min_t, g_cx, g_cy, g_cz))
+    g_offs = jax.tree.map(jnp.zeros_like, offs)
+    return g_scene, g_dirs, g_offs
+
+
+binned_trace.defvjp(_trace_fwd, _trace_bwd)

@@ -219,32 +219,24 @@ def _render_gbuffer_soa(scene: SceneParams, cfg: RenderConfig) -> GBuffer:
         nodes_n = jnp.sum(m[:, 0, 0])
         overflow = jnp.sum(m[:, 0, 1])
         depth_r = jnp.max(m[:, 0, 2])
-    else:  # binned
-        from sphereflake_tpu.ops.binned import (
-            binned_pairs,
-            trace_pairs_pallas_soa,
+        code = out[:, 1].reshape(-1)
+        dx, dy, dz = (t.reshape(-1) for t in tiled)
+        min_t, cx, cy, cz, hit = resolve_codes_soa(
+            dx, dy, dz, code, root, templates, scene.fractal, cfg
         )
+    else:  # binned: resolve-free forward, custom-VJP'd backward
+        from sphereflake_tpu.ops.binned import binned_trace
+        from sphereflake_tpu.ops.pallas_traversal import depth_reached_soa
 
-        pairs, starts, lens, (_n_pairs, pair_ovf) = binned_pairs(
-            scene, cfg, root, templates
+        zero = jnp.float32(0.0)
+        min_t, cx, cy, cz, hit, code, code_hi, m, pair_ovf = binned_trace(
+            (cfg, cfg.width, cfg.height, interpret),
+            scene, dirs_k, (zero, zero),
         )
-        out, m = trace_pairs_pallas_soa(
-            dirs_k, pairs, starts, lens, cfg, interpret=interpret
-        )
+        dx, dy, dz = (t.reshape(-1) for t in tiled)
         nodes_n = jnp.sum(m[:, 0, 0])
         overflow = jnp.sum(m[:, 0, 1]) + pair_ovf
-
-    from sphereflake_tpu.ops.pallas_traversal import depth_reached_soa
-
-    code = out[:, 1].reshape(-1)
-    code_hi = out[:, 2].reshape(-1) if out.shape[1] > 2 else None
-    if cfg.algorithm == "binned":
         depth_r = depth_reached_soa(code, cfg, code_hi)
-    dx, dy, dz = (t.reshape(-1) for t in tiled)
-    min_t, cx, cy, cz, hit = resolve_codes_soa(
-        dx, dy, dz, code, root, templates, scene.fractal, cfg,
-        code_hi_f=code_hi,
-    )
     # Shading, SoA (same math as `ops.traversal.shade_gbuffer`).
     t0 = jnp.where(hit, min_t, 0.0)
     px, py, pz = dx * t0, dy * t0, dz * t0
@@ -291,9 +283,8 @@ def _render_gbuffer_banded(scene: SceneParams, cfg: RenderConfig) -> GBuffer:
 
     from sphereflake_tpu.camera import corner_rays
     from sphereflake_tpu.models.sphereflake import child_templates, root_frame
-    from sphereflake_tpu.ops.binned import binned_pairs, trace_pairs_pallas_soa
+    from sphereflake_tpu.ops.binned import binned_trace
     from sphereflake_tpu.ops.intersect import safe_sqrt
-    from sphereflake_tpu.ops.pallas_traversal import resolve_codes_soa
 
     band_rows = cfg.effective_band_rows
     n_bands = cfg.tiles_y // band_rows
@@ -321,20 +312,11 @@ def _render_gbuffer_banded(scene: SceneParams, cfg: RenderConfig) -> GBuffer:
         tiled = [_tile(c / dnorm, bcfg) for c in comps]
         dirs_k = jnp.stack([t.reshape(Tb, 8, 128) for t in tiled], axis=1)
 
-        frame = (cfg.width, cfg.height, 0.0, y0.astype(jnp.float32))
-        pairs, starts, lens, (_n, povf) = binned_pairs(
-            scene, bcfg, root, templates, frame=frame
+        min_t, cx, cy, cz, hit, code, code_hi, m, povf = binned_trace(
+            (bcfg, cfg.width, cfg.height, interpret),
+            scene, dirs_k, (jnp.float32(0.0), y0.astype(jnp.float32)),
         )
-        out, m = trace_pairs_pallas_soa(
-            dirs_k, pairs, starts, lens, bcfg, interpret=interpret
-        )
-        code = out[:, 1].reshape(-1)
-        code_hi = out[:, 2].reshape(-1) if out.shape[1] > 2 else None
         dx, dy, dz = (t.reshape(-1) for t in tiled)
-        min_t, cx, cy, cz, hit = resolve_codes_soa(
-            dx, dy, dz, code, root, templates, scene.fractal, cfg,
-            code_hi_f=code_hi,
-        )
         t0 = jnp.where(hit, min_t, 0.0)
         px, py, pz = dx * t0, dy * t0, dz * t0
         wx, wy, wz = px - cx, py - cy, pz - cz

@@ -127,7 +127,7 @@ def test_deep_config_matches_shallow_on_shallow_scene():
               algorithm="binned")
     gb_s = render_gbuffer(scene, RenderConfig(**kw))
     kw["max_depth"] = 9
-    gb_d = render_gbuffer(scene, RenderConfig(**kw, global_cap=1 << 14))
+    gb_d = render_gbuffer(scene, RenderConfig(**kw))
     np.testing.assert_array_equal(np.asarray(gb_s.hit), np.asarray(gb_d.hit))
     np.testing.assert_allclose(
         np.asarray(gb_s.min_t), np.asarray(gb_d.min_t), rtol=1e-6, atol=1e-6

@@ -80,29 +80,29 @@ def stage_fn(stage, cfg):
             return jnp.sum(offsets[-1].astype(jnp.float32)) * 1e-6
 
         first = offsets - counts
+        if stage == "counts":
+            return jnp.sum(offsets[-1].astype(jnp.float32)) * 1e-6
+        from sphereflake_tpu.ops.binned import _running_max_rows
         slot = jnp.where((counts > 0) & (first < PAIR_CAP), first, PAIR_CAP)
-        from sphereflake_tpu.ops.binned import _running_max_1d
         iota_p = jnp.arange(PAIR_CAP, dtype=jnp.int32)
-
-        def mark(values):
-            return jnp.full((PAIR_CAP + 1,), -1, jnp.int32).at[slot].max(
-                values)[:PAIR_CAP]
-
-        node_ids = jnp.arange(counts.shape[0], dtype=jnp.int32)
-        if stage == "scatter1":
-            return jnp.sum(mark(node_ids).astype(jnp.float32)) * 1e-9
-        if stage == "scan1":
-            return jnp.sum(
-                _running_max_1d(mark(node_ids)).astype(jnp.float32)) * 1e-9
-
         fbits = max(1, (PAIR_CAP - 1).bit_length())
         abits = 31 - fbits
         amask = (1 << abits) - 1
-        pair_node = _running_max_1d(mark(node_ids))
-        pk_x0 = _running_max_1d(mark((first << abits) | tx0))
-        pk_y0 = _running_max_1d(mark((first << abits) | ty0))
-        pk_bw = _running_max_1d(mark((first << abits) | bw))
-        if stage == "fills4":
+        sources = jnp.stack([
+            jnp.arange(counts.shape[0], dtype=jnp.int32),
+            (first << abits) | tx0,
+            (first << abits) | ty0,
+            (first << abits) | bw,
+        ])
+        marks = (
+            jnp.full((4, PAIR_CAP), -1, jnp.int32)
+            .at[:, slot]
+            .set(sources, mode="drop", unique_indices=True)
+        )
+        if stage == "scatter":
+            return jnp.sum(marks[:, ::64].astype(jnp.float32)) * 1e-9
+        pair_node, pk_x0, pk_y0, pk_bw = _running_max_rows(marks)
+        if stage == "fills":
             return jnp.sum((pair_node + pk_x0 + pk_y0 + pk_bw
                             ).astype(jnp.float32)) * 1e-9
         p_first = pk_x0 >> abits
@@ -114,27 +114,24 @@ def stage_fn(stage, cfg):
         tile = jnp.where(pair_valid, p_ty * tx_n + p_tx, n_tiles)
         if stage == "decode":
             return jnp.sum(tile.astype(jnp.float32)) * 1e-9
-
-        order = jnp.argsort(tile)
+        tile_sorted, node_sorted = jax.lax.sort((tile, pair_node), num_keys=1)
         if stage == "sort":
-            return jnp.sum(order.astype(jnp.float32)) * 1e-9
-        tile_sorted = tile[order]
-        node_sorted = pair_node[order]
-        if stage == "reorder":
-            return jnp.sum((tile_sorted + node_sorted
+            return jnp.sum((tile_sorted[::64] + node_sorted[::64]
                             ).astype(jnp.float32)) * 1e-9
         rows = jnp.stack([
             nodes["cx"], nodes["cy"], nodes["cz"],
             nodes["r2"] - nodes["cc"], 4.0 * nodes["r2"] - nodes["cc"],
             nodes["lodr"], nodes["code"].astype(jnp.float32),
-            jnp.zeros_like(nodes["cx"]),
+            nodes["code_hi"].astype(jnp.float32),
         ])
         pairs = rows[:, node_sorted]
+        if stage == "gather":
+            return jnp.sum(pairs[0, ::64]) * 1e-6
         starts = jnp.searchsorted(tile_sorted,
                                   jnp.arange(n_tiles, dtype=jnp.int32))
         ends = jnp.searchsorted(tile_sorted,
                                 jnp.arange(1, n_tiles + 1, dtype=jnp.int32))
-        return (jnp.sum(pairs[0]) * 1e-6
+        return (jnp.sum(pairs[0, ::64]) * 1e-6
                 + jnp.sum((ends - starts).astype(jnp.float32)) * 1e-9)
 
     return fn
@@ -175,7 +172,7 @@ def main(depth=6):
         float(frames_fn(sc))
         return time.perf_counter() - t0
 
-    for stage in ["counts", "scatter1", "scan1", "fills4", "decode", "sort", "reorder", "gather"]:
+    for stage in ["counts", "scatter", "fills", "decode", "sort", "gather", "searchsorted"]:
         body = stage_fn(stage, cfg)
         f2, f22 = make_scan(body, 2), make_scan(body, 22)
         tc0 = time.perf_counter()

@@ -1,0 +1,92 @@
+"""Projected multi-chip scaling efficiency, measured on ONE real chip.
+
+The forward render is embarrassingly parallel (rays are independent;
+the sharded forward pass contains NO collectives — metrics psums
+excepted), so N-chip efficiency is set by per-block overhead: each
+device re-expands the tree and bins its own block. A single chip can
+measure exactly that: render the same frame (a) whole and (b) as N
+sequential bands through the banded pipeline — band k's work is
+bit-for-bit a mesh-(N,1) device block's work. Then
+
+    projected_efficiency(N) = t_whole / t_banded(N)
+
+since N devices would each run one band in parallel (per-device time
+t_banded/N) against the ideal t_whole/N.
+
+Usage: python tools/scaling_project.py [depth]
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _common import setup_cache
+
+setup_cache()
+import jax
+import jax.numpy as jnp
+
+from sphereflake_tpu.config import RenderConfig, default_scene
+from sphereflake_tpu.render import render_gbuffer
+
+scene0 = default_scene()
+
+
+def measure(cfg, fresh):
+    @partial(jax.jit, static_argnames=("n",))
+    def frames(scene, n):
+        def body(acc, i):
+            fi = i.astype(jnp.float32)
+            cam = dataclasses.replace(
+                scene.camera, yaw=scene.camera.yaw + 1e-7 * fi
+            )
+            gb = render_gbuffer(dataclasses.replace(scene, camera=cam), cfg)
+            return acc + gb.min_t[5, 5] + gb.min_t[77, 99], None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(n))
+        return acc
+
+    def run(n):
+        cam = dataclasses.replace(
+            scene0.camera, roll=scene0.camera.roll + 1e-6 * next(fresh)
+        )
+        t0 = time.perf_counter()
+        float(frames(dataclasses.replace(scene0, camera=cam), n))
+        return time.perf_counter() - t0
+
+    run(2)
+    run(22)
+    return min((run(22) - run(2)) / 20 for _ in range(2))
+
+
+def main(depth=6):
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform} {dev.device_kind} depth={depth}",
+          file=sys.stderr)
+    fresh = iter(range(1, 100000))
+    base = dict(width=1920, height=1024, max_depth=depth, tile_h=32,
+                tile_w=32, algorithm="binned")
+    t_whole = measure(RenderConfig(**base), fresh)
+    rays = 1920 * 1024
+    print(f"whole-frame 1920x1024: {t_whole * 1e3:7.2f} ms "
+          f"({rays / t_whole / 1e6:.1f}M rays/s)")
+    for n in (2, 4, 8):
+        tb = measure(
+            RenderConfig(**base, band_tile_rows=32 // n), fresh
+        )
+        eff = t_whole / tb
+        print(
+            f"N={n} blocks (bands of {1024 // n} rows): sequential "
+            f"{tb * 1e3:7.2f} ms -> projected {n}-chip efficiency "
+            f"{eff * 100:6.1f}%",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    a = sys.argv[1:]
+    main(int(a[0]) if a else 6)
