@@ -99,13 +99,22 @@ _POW7 = 9**7  # path-code hi/lo split: lo < 9^7 stays f32-exact
 DEEP_MAX_DEPTH = 14  # hi < 9^7 bound on the two-lane code
 
 
+def _expand_cap(cfg: RenderConfig) -> int:
+    """Pre-expansion live cap: once a level's children would exceed
+    global_cap, the parents are compacted this hard first, so the
+    child arrays (and their emit-compaction sort) stay ~9x this size
+    instead of 9x the dense level width."""
+    return max(4096, cfg.global_cap // 8)
+
+
 def _level_sizes(cfg: RenderConfig) -> list[int]:
     """Static emitted node count per level: dense 9^l while that fits
     cfg.global_cap, then compacted to the cap's closest live nodes."""
     sizes, n = [], 1
     for _ in range(cfg.max_depth + 1):
         sizes.append(min(n, cfg.global_cap))
-        n = 9 * sizes[-1]
+        n = 9 * (min(sizes[-1], _expand_cap(cfg))
+                 if 9 * sizes[-1] > cfg.global_cap else sizes[-1])
     return sizes
 
 
@@ -189,7 +198,7 @@ def expand_global(
         out["live"].append(live)
         out["rad"].append(jnp.full((n,), 1.0, jnp.float32) * (2.0 * radius))
 
-    def compact(r, t, lo, hi, live):
+    def compact(r, t, lo, hi, live, cap=cap):
         """Sort-and-gather compaction of live nodes to [cap] slots.
 
         One stable sort by (dead, distance) keys orders the closest
@@ -230,9 +239,23 @@ def expand_global(
     radius = radius0
     live = cull(t, live, radius)
     emit(t, lo, hi, live, radius)
+    ecap = _expand_cap(cfg)
     for _level in range(depth):
-        if live.shape[0] > cap:
-            r, t, lo, hi, live, ovf = compact(r, t, lo, hi, live)
+        if 9 * live.shape[0] > cap and live.shape[0] > ecap:
+            # Children would exceed the cap. Only parents that can
+            # produce a LOD-passing child need to survive: a child's
+            # emit cull needs |c_child| < lod^2*r_c + 2*r_c, and
+            # |c_child| >= |c_parent| - (1+ratio)*r_p, so the gate
+            # below is exactly conservative. At the reference pose
+            # level 5 is ~59k live but ZERO of them can spawn live
+            # level-6 children — this is what keeps the expansion (and
+            # its compaction sort) ~9x ecap instead of 9x the dense
+            # level width.
+            r_c = radius * ratio
+            lim = lod_sq * r_c + 2.0 * r_c + (1.0 + ratio) * radius
+            cc_cur = t[0] * t[0] + t[1] * t[1] + t[2] * t[2]
+            gate = live & (cc_cur < lim * lim)
+            r, t, lo, hi, live, ovf = compact(r, t, lo, hi, gate, ecap)
             overflow = overflow + ovf
         scale = (1.0 + ratio) * radius
         # Children: [9, N] via broadcasting template constants.

@@ -30,14 +30,15 @@ from sphereflake_tpu.config import RenderConfig, SceneParams
 def _look_at_origin(position):
     """Yaw/pitch that aim the camera's -Z forward axis at the origin.
 
-    The camera rotation is R = Rz(roll) @ Ry(yaw) @ Rx(pitch) applied to
-    (0, 0, -1) (`camera.h:65-68` GLM eulerAngleZYX convention as
-    implemented by `transforms.look_rotation`); solving forward =
-    -position/|position| gives pitch = asin(fz), yaw = atan2(-fx, -fz)
-    for forward f."""
+    The camera rotation is R = Rz(roll) @ Ry(pitch) @ Rx(yaw)
+    (`transforms.look_rotation`; the reference's "yaw" rotates about x,
+    `camera.h:65-68`), so the forward axis is R @ (0,0,-1) =
+    (-cos(yaw) sin(pitch), sin(yaw), -cos(yaw) cos(pitch)). Solving
+    for forward f = -position/|position|:
+    yaw = asin(fy), pitch = atan2(-fx, -fz)."""
     f = -position / jnp.linalg.norm(position)
-    pitch = jnp.arcsin(jnp.clip(f[1], -1.0, 1.0))
-    yaw = jnp.arctan2(-f[0], -f[2])
+    yaw = jnp.arcsin(jnp.clip(f[1], -1.0, 1.0))
+    pitch = jnp.arctan2(-f[0], -f[2])
     return yaw, pitch
 
 

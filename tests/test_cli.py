@@ -97,3 +97,28 @@ def test_animate_orbit_and_approach(tmp_path):
     ))
     assert rc == 0
     assert len(sorted(tmp_path.glob("dive_*.png"))) == 2
+
+
+def test_look_at_origin_actually_aims_at_origin():
+    """Regression: the orbit-mode aim solve had yaw/pitch swapped (the
+    camera rotation is Rz(roll) Ry(pitch) Rx(yaw), the reference's GLM
+    quirk) — verify the forward axis really hits the origin from
+    arbitrary positions."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sphereflake_tpu.config import CameraParams
+    from sphereflake_tpu.runtime.animate import (
+        _look_at_origin,
+        camera_forward,
+    )
+
+    for pos in ([5.0, 2.0, 3.0], [0.0, 0.0, 9.0], [-4.0, -7.0, 1.0],
+                [1.0, 8.0, -2.0]):
+        p = jnp.asarray(pos, jnp.float32)
+        yaw, pitch = _look_at_origin(p)
+        cam = CameraParams(position=p, yaw=yaw, pitch=pitch,
+                           roll=jnp.float32(0.0), fov=jnp.float32(60.0))
+        f = np.asarray(camera_forward(cam))
+        want = -np.asarray(pos) / np.linalg.norm(pos)
+        assert f @ want > 0.9999, (pos, f, want)
