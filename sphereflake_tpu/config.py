@@ -207,6 +207,22 @@ class RenderConfig:
                 )
 
     @property
+    def pair_cap(self) -> int:
+        """Static (node, tile) pair-table capacity for the binned path.
+
+        Pairs scale with BOTH tiles (~80 per tile at the reference
+        pose, which needs ~59) and live nodes (a small frame still
+        pairs every live node with at least one tile), so the budget
+        is the max of both, capped at 2^18 (the fill packing's 18-bit
+        `first` budget). Overflow is counted and fails the bench
+        rather than dropping silently."""
+        tiles = self.tiles_x * self.tiles_y
+        return min(
+            1 << 18,
+            max(2 * self.global_cap, -(-tiles * 80 // 2048) * 2048),
+        )
+
+    @property
     def effective_band_rows(self) -> int | None:
         """Band height in tile rows for the binned path, or None for a
         whole-frame bin. Auto-bands frames whose tile count would

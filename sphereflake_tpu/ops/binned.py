@@ -43,7 +43,7 @@ from sphereflake_tpu.config import FractalParams, RenderConfig
 Array = Any
 _BIG = np.float32(3.0e38)
 
-PAIR_CAP = 1 << 18  # static bound on (node, tile) pairs per frame
+PAIR_CAP = 1 << 18  # upper bound on cfg.pair_cap (18-bit fill packing)
 SEG_WIN = 512  # pairs per kernel DMA window (segments of ANY length
 # are consumed by looping windows — SEG_WIN is a staging-buffer size,
 # not a correctness cap)
@@ -315,8 +315,9 @@ def bin_nodes(nodes, minv, cfg: RenderConfig, frame=None):
     the frame whose corner-ray basis `minv` was built from). Defaults
     to the unsharded identity (cfg.width, cfg.height, 0, 0).
 
-    Returns (pairs [8, PAIR_CAP], starts [T], lens [T], n_pairs,
+    Returns (pairs [8, cfg.pair_cap], starts [T], lens [T], n_pairs,
     pair_overflow)."""
+    pair_cap = cfg.pair_cap
     tw, th = cfg.tile_w, cfg.tile_h
     tx_n, ty_n = cfg.tiles_x, cfg.tiles_y
     n_tiles = tx_n * ty_n
@@ -374,7 +375,7 @@ def bin_nodes(nodes, minv, cfg: RenderConfig, frame=None):
 
     offsets = jnp.cumsum(counts)  # inclusive
     n_pairs = offsets[-1]
-    pair_overflow = jnp.maximum(n_pairs - PAIR_CAP, 0)
+    pair_overflow = jnp.maximum(n_pairs - pair_cap, 0)
 
     # pair -> (node, tile), GATHER-FREE: random-index gathers over the
     # pair array cost ~20 ns/element on TPU and dominated the round-2
@@ -390,14 +391,14 @@ def bin_nodes(nodes, minv, cfg: RenderConfig, frame=None):
     # nodes aim at PAIR_CAP, out of bounds) instead of a dup-tolerant
     # .at[].max, and all four fill sources ride ONE batched scatter.
     slot = jnp.where(
-        (counts > 0) & (first < PAIR_CAP), first, PAIR_CAP
+        (counts > 0) & (first < pair_cap), first, pair_cap
     )
-    iota_p = jnp.arange(PAIR_CAP, dtype=jnp.int32)
+    iota_p = jnp.arange(pair_cap, dtype=jnp.int32)
 
     # Bit budget: first < PAIR_CAP (2^18) needs 18 bits; tile coords
     # and widths fit the remaining 13 even at 16384^2 (tiles_x 512 ->
     # 9 bits), one attribute per scan.
-    fbits = max(1, (PAIR_CAP - 1).bit_length())
+    fbits = max(1, (PAIR_CAP - 1).bit_length())  # fixed: first < 2^18
     abits = 31 - fbits
     assert tx_n <= (1 << abits) and ty_n <= (1 << abits), (
         f"tile grid {tx_n}x{ty_n} exceeds the {abits}-bit pack budget"
@@ -411,7 +412,7 @@ def bin_nodes(nodes, minv, cfg: RenderConfig, frame=None):
         ]
     )
     marks = (
-        jnp.full((4, PAIR_CAP), -1, jnp.int32)
+        jnp.full((4, pair_cap), -1, jnp.int32)
         .at[:, slot]
         .set(sources, mode="drop", unique_indices=True)
     )

@@ -36,7 +36,7 @@ from sphereflake_tpu.render import render_gbuffer
 scene0 = default_scene()
 
 
-def measure(cfg, fresh):
+def measure(cfg, fresh, n_big=22):
     @partial(jax.jit, static_argnames=("n",))
     def frames(scene, n):
         def body(acc, i):
@@ -59,15 +59,37 @@ def measure(cfg, fresh):
         return time.perf_counter() - t0
 
     run(2)
-    run(22)
-    return min((run(22) - run(2)) / 20 for _ in range(2))
+    run(n_big)
+    return min((run(n_big) - run(2)) / (n_big - 2) for _ in range(2))
 
 
-def main(depth=6):
+def main(depth=6, mode="1080p"):
     dev = jax.devices()[0]
-    print(f"device: {dev.platform} {dev.device_kind} depth={depth}",
-          file=sys.stderr)
+    print(f"device: {dev.platform} {dev.device_kind} depth={depth} "
+          f"mode={mode}", file=sys.stderr)
     fresh = iter(range(1, 100000))
+    if mode == "config5":
+        # BASELINE config 5: 16384^2 sharded over N >= 2 hosts/chips.
+        # Per-device block at N=8 is 16384x2048; weak-scaling
+        # efficiency = t(whole 16k^2) / (8 * t(block)) since blocks
+        # run concurrently on real chips.
+        base = dict(width=16384, max_depth=depth, tile_h=32, tile_w=32,
+                    algorithm="binned")
+        t_whole = measure(RenderConfig(**base, height=16384), fresh, n_big=4)
+        print(f"whole 16384x16384: {t_whole * 1e3:8.1f} ms "
+              f"({16384 * 16384 / t_whole / 1e6:.0f}M rays/s)")
+        for n in (2, 4, 8):
+            tb = measure(
+                RenderConfig(**base, height=16384 // n), fresh, n_big=4
+            )
+            eff = t_whole / (n * tb)
+            print(
+                f"N={n} chips (block 16384x{16384 // n}): per-block "
+                f"{tb * 1e3:8.1f} ms -> projected weak-scaling "
+                f"efficiency {eff * 100:6.1f}%",
+                flush=True,
+            )
+        return
     base = dict(width=1920, height=1024, max_depth=depth, tile_h=32,
                 tile_w=32, algorithm="binned")
     t_whole = measure(RenderConfig(**base), fresh)
@@ -89,4 +111,4 @@ def main(depth=6):
 
 if __name__ == "__main__":
     a = sys.argv[1:]
-    main(int(a[0]) if a else 6)
+    main(int(a[0]) if a else 6, a[1] if len(a) > 1 else "1080p")
