@@ -175,8 +175,10 @@ class RenderConfig:
     # cut keeps live counts far below the dense width (the reference's
     # recursion is unbounded for the same reason,
     # `Sphereflake.h:146-153`); overflow is counted, never silent, and
-    # the compaction drops farthest-first.
-    global_cap: int = 1 << 16
+    # the compaction drops farthest-first. The default is 9x the
+    # pre-expansion cap (global_cap // 9), so a compacted level's
+    # children exactly fill the next level with no second sort.
+    global_cap: int = 9 << 13
     ssao_downscale: int = 1  # SSAO target downscale (main.cpp:118 uses 1)
     noise_size: int = 64  # SSAO noise texture size (SSAO.h:4)
     background: float = 0.0  # sky writes zeros (post_final.glsl:20-24)

@@ -101,10 +101,10 @@ DEEP_MAX_DEPTH = 14  # hi < 9^7 bound on the two-lane code
 
 def _expand_cap(cfg: RenderConfig) -> int:
     """Pre-expansion live cap: once a level's children would exceed
-    global_cap, the parents are compacted this hard first, so the
-    child arrays (and their emit-compaction sort) stay ~9x this size
-    instead of 9x the dense level width."""
-    return max(4096, cfg.global_cap // 8)
+    global_cap, the parents are compacted this hard first. global_cap
+    defaults to exactly 9x this, so compacted parents' children fill
+    the emitted level with NO second (emit-time) compaction sort."""
+    return max(4096, cfg.global_cap // 9)
 
 
 def _level_sizes(cfg: RenderConfig) -> list[int]:
@@ -454,11 +454,10 @@ def bin_nodes(nodes, minv, cfg: RenderConfig, frame=None):
     pairs = pairs.at[3, :].set(jnp.where(dead, -_BIG, pairs[3, :]))
     pairs = pairs.at[4, :].set(jnp.where(dead, -_BIG, pairs[4, :]))
 
-    starts = jnp.searchsorted(tile_sorted, jnp.arange(n_tiles, dtype=jnp.int32))
-    ends = jnp.searchsorted(
-        tile_sorted, jnp.arange(1, n_tiles + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(
+        tile_sorted, jnp.arange(n_tiles + 1, dtype=jnp.int32)
     )
-    lens = ends - starts
+    starts, lens = bounds[:-1], bounds[1:] - bounds[:-1]
     return pairs, starts.astype(jnp.int32), lens.astype(jnp.int32), (
         n_pairs, pair_overflow
     )
@@ -769,28 +768,33 @@ def trace_tiles_binned(
     tiles: Array,  # [T, 1024, 3]
     scene,
     cfg: RenderConfig,
-    root: Array,
-    templates: Array,
+    root: Array,  # unused (binned_trace re-derives); kept for dispatch parity
+    templates: Array,  # unused likewise
     frame=None,  # (frame_w, frame_h, x_off, y_off) for sharded blocks
 ):
-    """Full binned pipeline -> TraceResult-compatible tuple."""
-    from sphereflake_tpu.ops.pallas_traversal import resolve_codes
-
-    pairs, starts, lens, (n_pairs, pair_overflow) = binned_pairs(
-        scene, cfg, root, templates, frame=frame
-    )
-    interpret = jax.default_backend() != "tpu"
-    min_t_k, code, code_hi, m = trace_pairs_pallas(
-        tiles, pairs, starts, lens, cfg, interpret=interpret
-    )
-    min_t, center, hit = resolve_codes(
-        tiles, code, root, templates, scene.fractal, cfg, code_hi_f=code_hi
-    )
+    """Full binned pipeline -> TraceResult-compatible tuple, AoS entry
+    (the sharded block path). Runs the same resolve-free forward +
+    custom-VJP backward as the SoA pipeline (`binned_trace`)."""
     from sphereflake_tpu.ops.pallas_traversal import depth_reached_soa
 
-    overflow = jnp.sum(m[:, 0, 1]) + pair_overflow
-    depth_reached = depth_reached_soa(code, cfg, code_hi)
-    return min_t, center, hit, depth_reached, jnp.sum(m[:, 0, 0]), overflow
+    T, rays, _ = tiles.shape
+    frame_w, frame_h, x_off, y_off = (
+        frame if frame is not None else (cfg.width, cfg.height, 0.0, 0.0)
+    )
+    dirs_k = jnp.moveaxis(tiles, 2, 1).reshape(T, 3, 8, _LANES)
+    interpret = jax.default_backend() != "tpu"
+    min_t, cx, cy, cz, hit, lo, hi, m, povf = binned_trace(
+        (cfg, frame_w, frame_h, interpret),
+        scene, dirs_k,
+        (jnp.asarray(x_off, jnp.float32), jnp.asarray(y_off, jnp.float32)),
+    )
+    center = jnp.stack([cx, cy, cz], axis=-1).reshape(T, rays, 3)
+    overflow = jnp.sum(m[:, 0, 1]) + povf
+    depth_reached = depth_reached_soa(lo, cfg, hi)
+    return (
+        min_t.reshape(T, rays), center, hit.reshape(T, rays),
+        depth_reached, jnp.sum(m[:, 0, 0]), overflow,
+    )
 
 
 def _trace_primal(statics, scene, dirs_k, offs):
