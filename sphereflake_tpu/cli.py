@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tile HxW (default: 32x32 for binned/pallas, "
                    "64x128 otherwise)")
     p.add_argument("--max-frontier", type=int, default=1024)
+    p.add_argument("--global-cap", type=int, default=None,
+                   help="binned path: live-node cap per fractal level "
+                   "(default: RenderConfig's 9*8192; doubled on overflow)")
     p.add_argument("--tile-batch", type=int, default=16)
     p.add_argument("--output", "-o", type=str, default="sphereflake.png")
     p.add_argument("--gbuffer", type=str, default=None, help="also save G-buffer NPZ")
@@ -136,6 +139,11 @@ def main(argv=None) -> int:
             tile_batch=args.tile_batch,
             algorithm=algorithm,
             strict_lod=not args.loose_lod,
+            **(
+                {"global_cap": args.global_cap}
+                if args.global_cap is not None
+                else {}
+            ),
         )
     except ValueError as e:
         print(f"error: {e}", file=sys.stderr)
@@ -303,13 +311,19 @@ def main(argv=None) -> int:
     # `Sphereflake.h:165-172`).
     retries = 0
     while int(gb.metrics.overflow) and retries < 3:
-        new_frontier = cfg.max_frontier * 2
+        # Capacity may cost speed, never correctness: the binned path's
+        # drops come from global_cap (level compaction) / pair_cap
+        # (scales with it), the per-tile paths' from max_frontier.
+        if cfg.algorithm == "binned":
+            grown = {"global_cap": cfg.global_cap * 2}
+        else:
+            grown = {"max_frontier": cfg.max_frontier * 2}
         print(
-            f"frontier overflow ({int(gb.metrics.overflow)} nodes dropped); "
-            f"retrying with max_frontier={new_frontier}",
+            f"capacity overflow ({int(gb.metrics.overflow)} nodes "
+            f"dropped); retrying with {grown}",
             file=sys.stderr,
         )
-        cfg = dataclasses.replace(cfg, max_frontier=new_frontier)
+        cfg = dataclasses.replace(cfg, **grown)
         image, gb = one_frame(0)
         jax.block_until_ready(gb.min_t)
         retries += 1

@@ -51,20 +51,41 @@ _UNROLL = 4  # independent node chains per loop iteration (VPU ILP)
 _LANES = 128
 
 
+_IMIN = -(2**31)
+
+
+def _cummax_last(x: Array) -> Array:
+    """Inclusive running max along the LAST axis via log-shift maxima
+    (log2(n) pad+slice+max passes). Both a flat 1D `lax.cummax` (lane-
+    serial) and the 2D `lax.cummax` lowering (reduce-window, measured
+    ~1.5 ms on [4, 147k]) are slow on TPU; this is ~10 bandwidth-bound
+    elementwise ops."""
+    n = x.shape[-1]
+    pad_cfg = [(0, 0)] * (x.ndim - 1)
+    sh = 1
+    while sh < n:
+        shifted = jnp.pad(
+            x, pad_cfg + [(sh, 0)], constant_values=_IMIN
+        )[..., :n]
+        x = jnp.maximum(x, shifted)
+        sh *= 2
+    return x
+
+
 def _running_max_rows(x: Array) -> Array:
-    """Per-row inclusive running max over [K, n] int32 (see
-    `_running_max_1d` for why flat scans are avoided): one vectorized
-    [K*rows, cols] `lax.cummax` + a tiny per-row carry scan."""
+    """Per-row inclusive running max over [K, n] int32: two-level
+    decomposition ([K, rows, cols] log-shift cummax along cols +
+    a small carry cummax over rows)."""
     k, n = x.shape
     rows = 1 << (max(n.bit_length() - 1, 2) // 2 + 1)
     cols = -(-n // rows)
     pad = rows * cols - n
-    imin = jnp.int32(-(2**31))
+    imin = jnp.int32(_IMIN)
     x2 = jnp.concatenate(
         [x, jnp.full((k, pad), imin, x.dtype)], axis=1
     ).reshape(k, rows, cols)
-    row = jax.lax.cummax(x2, axis=2)
-    carry = jax.lax.cummax(row[:, :, -1], axis=1)
+    row = _cummax_last(x2)
+    carry = _cummax_last(row[:, :, -1])
     carry = jnp.concatenate(
         [jnp.full((k, 1), imin, x.dtype), carry[:, :-1]], axis=1
     )
@@ -73,26 +94,9 @@ def _running_max_rows(x: Array) -> Array:
 
 
 def _running_max_1d(x: Array) -> Array:
-    """Inclusive running max over a 1D int32 array, two-level.
-
-    A flat [n] scan on TPU degenerates to lane-serial passes (an [n]
-    array is (8,128)-tiled, and XLA's 1D cumulative lowering cannot
-    vectorize across the flattened dim — measured ~7 ms per 262k scan).
-    Decomposing into a [rows, cols] row-wise `lax.cummax` (vectorized
-    over rows) plus a tiny carry scan over row maxima is ~20x faster.
-    """
-    n = x.shape[0]
-    rows = 1 << (max(n.bit_length() - 1, 2) // 2 + 1)
-    cols = -(-n // rows)
-    pad = rows * cols - n
-    imin = jnp.int32(-(2**31))
-    x2 = jnp.concatenate([x, jnp.full((pad,), imin, x.dtype)]).reshape(
-        rows, cols
-    )
-    row = jax.lax.cummax(x2, axis=1)
-    carry = jax.lax.cummax(row[:, -1], axis=0)
-    carry = jnp.concatenate([jnp.full((1,), imin, x.dtype), carry[:-1]])
-    return jnp.maximum(row, carry[:, None]).reshape(rows * cols)[:n]
+    """Inclusive running max over a 1D int32 array (see
+    `_running_max_rows`)."""
+    return _running_max_rows(x[None, :])[0]
 
 
 _POW7 = 9**7  # path-code hi/lo split: lo < 9^7 stays f32-exact

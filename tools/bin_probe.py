@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from sphereflake_tpu.camera import tile_frustum_planes
 from sphereflake_tpu.config import RenderConfig, default_scene
 from sphereflake_tpu.models.sphereflake import child_templates, root_frame
-from sphereflake_tpu.ops.binned import PAIR_CAP, corner_basis, expand_global
+from sphereflake_tpu.ops.binned import corner_basis, expand_global
 
 scene0 = default_scene()
 
@@ -79,13 +79,14 @@ def stage_fn(stage, cfg):
         if stage == "counts":
             return jnp.sum(offsets[-1].astype(jnp.float32)) * 1e-6
 
+        PAIR_CAP = cfg.pair_cap
         first = offsets - counts
         if stage == "counts":
             return jnp.sum(offsets[-1].astype(jnp.float32)) * 1e-6
         from sphereflake_tpu.ops.binned import _running_max_rows
         slot = jnp.where((counts > 0) & (first < PAIR_CAP), first, PAIR_CAP)
         iota_p = jnp.arange(PAIR_CAP, dtype=jnp.int32)
-        fbits = max(1, (PAIR_CAP - 1).bit_length())
+        fbits = 18
         abits = 31 - fbits
         amask = (1 << abits) - 1
         sources = jnp.stack([
@@ -127,12 +128,11 @@ def stage_fn(stage, cfg):
         pairs = rows[:, node_sorted]
         if stage == "gather":
             return jnp.sum(pairs[0, ::64]) * 1e-6
-        starts = jnp.searchsorted(tile_sorted,
-                                  jnp.arange(n_tiles, dtype=jnp.int32))
-        ends = jnp.searchsorted(tile_sorted,
-                                jnp.arange(1, n_tiles + 1, dtype=jnp.int32))
+        bounds = jnp.searchsorted(
+            tile_sorted, jnp.arange(n_tiles + 1, dtype=jnp.int32))
         return (jnp.sum(pairs[0, ::64]) * 1e-6
-                + jnp.sum((ends - starts).astype(jnp.float32)) * 1e-9)
+                + jnp.sum((bounds[1:] - bounds[:-1]).astype(jnp.float32))
+                * 1e-9)
 
     return fn
 
