@@ -787,17 +787,17 @@ def trace_tiles_binned(
     )
     dirs_k = jnp.moveaxis(tiles, 2, 1).reshape(T, 3, 8, _LANES)
     interpret = jax.default_backend() != "tpu"
-    min_t, cx, cy, cz, hit, lo, hi, m, povf = binned_trace(
+    min_t, cx, cy, cz, hit_f, lo, hi, m, povf = binned_trace(
         (cfg, frame_w, frame_h, interpret),
         scene, dirs_k,
         (jnp.asarray(x_off, jnp.float32), jnp.asarray(y_off, jnp.float32)),
     )
     center = jnp.stack([cx, cy, cz], axis=-1).reshape(T, rays, 3)
-    overflow = jnp.sum(m[:, 0, 1]) + povf
+    overflow = (jnp.sum(m[:, 0, 1]) + povf).astype(jnp.int32)
     depth_reached = depth_reached_soa(lo, cfg, hi)
     return (
-        min_t.reshape(T, rays), center, hit.reshape(T, rays),
-        depth_reached, jnp.sum(m[:, 0, 0]), overflow,
+        min_t.reshape(T, rays), center, (hit_f != 0.0).reshape(T, rays),
+        depth_reached, jnp.sum(m[:, 0, 0]).astype(jnp.int32), overflow,
     )
 
 
@@ -821,41 +821,44 @@ def _trace_primal(statics, scene, dirs_k, offs):
     cx = out[:, -3].reshape(-1)
     cy = out[:, -2].reshape(-1)
     cz = out[:, -1].reshape(-1)
-    hit = (lo >= 1.0) | (hi >= 1.0)
-    min_t = jnp.where(hit, t, _BIG)
-    return min_t, cx, cy, cz, hit, lo, hi, m, povf
+    hit = ((lo >= 1.0) | (hi >= 1.0)).astype(jnp.float32)
+    min_t = jnp.where(hit > 0.0, t, _BIG)
+    # All-float outputs so the custom-JVP tangent structure is uniform
+    # (the non-differentiable ones get zero tangents; counts stay exact
+    # in f32 — they are < 2^24).
+    return (min_t, cx, cy, cz, hit, lo, hi,
+            m.astype(jnp.float32), povf.astype(jnp.float32))
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0,))
+@partial(jax.custom_jvp, nondiff_argnums=(0,))
 def binned_trace(statics, scene, dirs_k, offs):
     """Forward binned trace WITHOUT the resolve re-walk: the kernel
     already computed the winner's t and center, so the primal reads
     them straight out of the kernel rows (saving the ~2 ms
     `resolve_codes` pass per frame). Differentiability is preserved by
-    a custom VJP whose backward re-derives (min_t, center) from the
-    saved path codes via `resolve_codes_soa` and pulls the cotangents
-    through that recomputation — the same straight-through-selection
-    gradient the resolve-based forward produced (recompute-based
-    backward, SURVEY §7 stage 5).
+    a custom JVP whose tangent re-derives (min_t, center) from the
+    saved path codes via `resolve_codes_soa` and differentiates that
+    recomputation — the same straight-through-selection gradient the
+    resolve-based forward produced. JAX transposes the (linear) JVP
+    automatically, so reverse mode (fitting) works too (SURVEY §7
+    stage 5, recompute-based backward).
 
     statics = (cfg, frame_w, frame_h, interpret); offs = (x_off, y_off)
     traced pixel offsets of this block within the frame.
-    Returns (min_t, cx, cy, cz, hit, code_lo, code_hi, metrics,
-    pair_overflow); the code outputs are non-differentiable.
+    Returns (min_t, cx, cy, cz, hit(f32 0/1), code_lo, code_hi,
+    metrics(f32), pair_overflow(f32)); only the first four carry
+    nonzero derivatives.
     """
     return _trace_primal(statics, scene, dirs_k, offs)
 
 
-def _trace_fwd(statics, scene, dirs_k, offs):
+@binned_trace.defjvp
+def _trace_jvp(statics, primals, tangents):
+    cfg = statics[0]
+    scene, dirs_k, offs = primals
+    d_scene, d_dirs, _d_offs = tangents
     outs = _trace_primal(statics, scene, dirs_k, offs)
     lo, hi = outs[5], outs[6]
-    return outs, (scene, dirs_k, offs, lo, hi)
-
-
-def _trace_bwd(statics, res, cts):
-    cfg = statics[0]
-    scene, dirs_k, offs, lo, hi = res
-    g_min_t, g_cx, g_cy, g_cz = cts[0], cts[1], cts[2], cts[3]
     from sphereflake_tpu.models.sphereflake import child_templates, root_frame
     from sphereflake_tpu.ops.pallas_traversal import resolve_codes_soa
 
@@ -871,10 +874,6 @@ def _trace_bwd(statics, res, cts):
         )
         return min_t, cx, cy, cz
 
-    _, vjp = jax.vjp(h, scene, dirs_k)
-    g_scene, g_dirs = vjp((g_min_t, g_cx, g_cy, g_cz))
-    g_offs = jax.tree.map(jnp.zeros_like, offs)
-    return g_scene, g_dirs, g_offs
-
-
-binned_trace.defvjp(_trace_fwd, _trace_bwd)
+    _, (dt, dcx, dcy, dcz) = jax.jvp(h, (scene, dirs_k), (d_scene, d_dirs))
+    zeros = tuple(jnp.zeros_like(o) for o in outs[4:])
+    return outs, (dt, dcx, dcy, dcz) + zeros

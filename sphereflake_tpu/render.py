@@ -229,13 +229,14 @@ def _render_gbuffer_soa(scene: SceneParams, cfg: RenderConfig) -> GBuffer:
         from sphereflake_tpu.ops.pallas_traversal import depth_reached_soa
 
         zero = jnp.float32(0.0)
-        min_t, cx, cy, cz, hit, code, code_hi, m, pair_ovf = binned_trace(
+        min_t, cx, cy, cz, hit_f, code, code_hi, m, pair_ovf = binned_trace(
             (cfg, cfg.width, cfg.height, interpret),
             scene, dirs_k, (zero, zero),
         )
+        hit = hit_f != 0.0
         dx, dy, dz = (t.reshape(-1) for t in tiled)
-        nodes_n = jnp.sum(m[:, 0, 0])
-        overflow = jnp.sum(m[:, 0, 1]) + pair_ovf
+        nodes_n = jnp.sum(m[:, 0, 0]).astype(jnp.int32)
+        overflow = (jnp.sum(m[:, 0, 1]) + pair_ovf).astype(jnp.int32)
         depth_r = depth_reached_soa(code, cfg, code_hi)
     # Shading, SoA (same math as `ops.traversal.shade_gbuffer`).
     t0 = jnp.where(hit, min_t, 0.0)
@@ -312,10 +313,11 @@ def _render_gbuffer_banded(scene: SceneParams, cfg: RenderConfig) -> GBuffer:
         tiled = [_tile(c / dnorm, bcfg) for c in comps]
         dirs_k = jnp.stack([t.reshape(Tb, 8, 128) for t in tiled], axis=1)
 
-        min_t, cx, cy, cz, hit, code, code_hi, m, povf = binned_trace(
+        min_t, cx, cy, cz, hit_f, code, code_hi, m, povf = binned_trace(
             (bcfg, cfg.width, cfg.height, interpret),
             scene, dirs_k, (jnp.float32(0.0), y0.astype(jnp.float32)),
         )
+        hit = hit_f != 0.0
         dx, dy, dz = (t.reshape(-1) for t in tiled)
         t0 = jnp.where(hit, min_t, 0.0)
         px, py, pz = dx * t0, dy * t0, dz * t0
@@ -334,7 +336,9 @@ def _render_gbuffer_banded(scene: SceneParams, cfg: RenderConfig) -> GBuffer:
         band_depth = depth_reached_soa(code, cfg, code_hi)
         return (
             pos, nrm, min_t.reshape(Tb, rays), hit.reshape(Tb, rays),
-            band_depth, jnp.sum(m[:, 0, 0]), jnp.sum(m[:, 0, 1]) + povf,
+            band_depth,
+            jnp.sum(m[:, 0, 0]).astype(jnp.int32),
+            (jnp.sum(m[:, 0, 1]) + povf).astype(jnp.int32),
         )
 
     pos_b, nrm_b, mt_b, hit_b, band_depth, nodes_n, ovf = jax.lax.map(

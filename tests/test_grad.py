@@ -25,8 +25,10 @@ from sphereflake_tpu.render import render_frame, render_gbuffer
 
 
 def _cfg(algorithm):
-    tile = dict(tile_h=32, tile_w=32) if algorithm == "pallas" else dict(
-        tile_h=16, tile_w=64
+    tile = (
+        dict(tile_h=32, tile_w=32)
+        if algorithm in ("pallas", "binned")
+        else dict(tile_h=16, tile_w=64)
     )
     return RenderConfig(
         width=64, height=32, max_depth=2, max_frontier=128,
@@ -59,7 +61,7 @@ def _perturbers():
     return {"yaw": set_yaw, "position_x": set_px, "radius_ratio": set_ratio}
 
 
-@pytest.mark.parametrize("algorithm", ["strict", "pallas"])
+@pytest.mark.parametrize("algorithm", ["strict", "pallas", "binned"])
 @pytest.mark.parametrize("param", ["yaw", "position_x", "radius_ratio"])
 def test_pixel_gradients_match_central_differences(algorithm, param):
     scene = default_scene()
