@@ -309,21 +309,20 @@ def main(argv=None) -> int:
     # capacity until clean (capacity may cost speed, never correctness —
     # the reference's recursion visits every LOD-passing node,
     # `Sphereflake.h:165-172`).
+    from sphereflake_tpu.render import grow_capacity
+
     retries = 0
-    while int(gb.metrics.overflow) and retries < 3:
-        # Capacity may cost speed, never correctness: the binned path's
-        # drops come from global_cap (level compaction) / pair_cap
-        # (scales with it), the per-tile paths' from max_frontier.
-        if cfg.algorithm == "binned":
-            grown = {"global_cap": cfg.global_cap * 2}
-        else:
-            grown = {"max_frontier": cfg.max_frontier * 2}
+    while int(gb.metrics.overflow) and retries < 6:
+        # Capacity may cost speed, never correctness: grow global_cap
+        # (binned) / max_frontier (per-tile), then fall back to bands.
+        cfg = grow_capacity(cfg)
         print(
             f"capacity overflow ({int(gb.metrics.overflow)} nodes "
-            f"dropped); retrying with {grown}",
+            f"dropped); retrying with global_cap={cfg.global_cap} "
+            f"bands={cfg.effective_band_rows} "
+            f"max_frontier={cfg.max_frontier}",
             file=sys.stderr,
         )
-        cfg = dataclasses.replace(cfg, **grown)
         image, gb = one_frame(0)
         jax.block_until_ready(gb.min_t)
         retries += 1

@@ -78,6 +78,30 @@ def _untile(tiles: Array, cfg: RenderConfig) -> Array:
     return x[: cfg.height, : cfg.width]
 
 
+def grow_capacity(cfg: RenderConfig) -> RenderConfig:
+    """Next config in the capacity ladder after an overflow (capacity
+    may cost speed, never correctness — the reference's recursion
+    visits every LOD-passing node, `Sphereflake.h:165-172`).
+
+    Binned path: double global_cap until every level-5 parent fits the
+    expansion gate cap (ecap = global_cap/9 >= 59049), then halve the
+    band height — banding slices the live set per band, which bounds
+    capacity at ANY pose. Per-tile paths: double max_frontier."""
+    if cfg.algorithm != "binned":
+        return dataclasses.replace(cfg, max_frontier=cfg.max_frontier * 2)
+    if cfg.global_cap < (9 << 16):
+        return dataclasses.replace(cfg, global_cap=cfg.global_cap * 2)
+    rows = cfg.effective_band_rows or cfg.tiles_y
+    new_rows = max(1, rows // 4)
+    while new_rows > 1 and cfg.tiles_y % new_rows:
+        new_rows -= 1
+    if (cfg.effective_band_rows or cfg.tiles_y) == new_rows:
+        raise RuntimeError(
+            "capacity ladder exhausted (1-tile-row bands still overflow)"
+        )
+    return dataclasses.replace(cfg, band_tile_rows=new_rows)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def render_frame(scene: SceneParams, cfg: RenderConfig):
     """The complete pipeline of the reference app's `Render()`

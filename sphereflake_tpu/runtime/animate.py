@@ -86,13 +86,24 @@ def animate(
         elif mode != "approach":
             raise ValueError(f"unknown animation mode {mode!r}")
 
-        if composite:
-            image, gb = render_frame(scene, cfg)
-        else:
-            gb = render_gbuffer(scene, cfg)
-            from sphereflake_tpu.utils.image import shade_normals
+        while True:
+            if composite:
+                image, gb = render_frame(scene, cfg)
+            else:
+                gb = render_gbuffer(scene, cfg)
+                from sphereflake_tpu.utils.image import shade_normals
 
-            image = shade_normals(np.asarray(gb.normal), np.asarray(gb.hit))
+                image = shade_normals(
+                    np.asarray(gb.normal), np.asarray(gb.hit)
+                )
+            if not int(gb.metrics.overflow):
+                break
+            # Deep poses outgrow the capacity defaults (the reference's
+            # recursion has no caps); grow and re-render this frame,
+            # keeping the bigger config for the rest of the path.
+            from sphereflake_tpu.render import grow_capacity
+
+            cfg = grow_capacity(cfg)
         yield np.asarray(image), scene
 
         if mode == "approach":

@@ -122,3 +122,33 @@ def test_look_at_origin_actually_aims_at_origin():
         f = np.asarray(camera_forward(cam))
         want = -np.asarray(pos) / np.linalg.norm(pos)
         assert f @ want > 0.9999, (pos, f, want)
+
+
+def test_capacity_ladder_progression():
+    """grow_capacity must first raise global_cap (until every level-5
+    parent fits the expansion gate), then shrink bands, and terminate
+    rather than loop (verified to clear a mid-dive overflow pose at
+    step 4 on CPU)."""
+    import dataclasses
+
+    import pytest
+
+    from sphereflake_tpu.config import RenderConfig
+    from sphereflake_tpu.render import grow_capacity
+
+    cfg = RenderConfig(width=320, height=192, max_depth=6, tile_h=32,
+                       tile_w=32, algorithm="binned")
+    caps, bands = [], []
+    for _ in range(4):
+        cfg = grow_capacity(cfg)
+        caps.append(cfg.global_cap)
+        bands.append(cfg.effective_band_rows)
+    assert caps == [9 << 14, 9 << 15, 9 << 16, 9 << 16]
+    assert bands[-1] == 1  # fell back to banding after the cap limit
+    with pytest.raises(RuntimeError):
+        grow_capacity(grow_capacity(cfg))
+
+    # per-tile paths grow max_frontier
+    cfg_f = RenderConfig(width=128, height=64, max_depth=3, tile_h=32,
+                         tile_w=64, max_frontier=256)
+    assert grow_capacity(cfg_f).max_frontier == 512
