@@ -47,7 +47,7 @@ PAIR_CAP = 1 << 18  # upper bound on cfg.pair_cap (18-bit fill packing)
 SEG_WIN = 512  # pairs per kernel DMA window (segments of ANY length
 # are consumed by looping windows — SEG_WIN is a staging-buffer size,
 # not a correctness cap)
-_UNROLL = 4  # independent node chains per loop iteration (VPU ILP)
+_UNROLL = 8  # independent node chains per loop iteration (VPU ILP)
 _LANES = 128
 
 
