@@ -64,6 +64,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--frames", type=int, default=1, help="frames to render (timing)")
     p.add_argument("--platform", choices=("auto", "cpu"), default="auto")
+    # Multi-device operation: like the reference's hardware_concurrency
+    # worker pool (`Sphereflake.cpp:69`), the one executable uses every
+    # available chip by default, sharding the screen over a 2D mesh.
+    p.add_argument("--devices", type=int, default=None,
+                   help="local devices to use (default: all; 1 disables "
+                   "sharding)")
+    p.add_argument("--mesh", type=str, default=None, metavar="RxC",
+                   help="explicit 2D device mesh shape (rows x cols of "
+                   "screen blocks; default: auto factorization)")
     p.add_argument("--loose-lod", action="store_true",
                    help="node-level LOD gating (faster, packet-like semantics)")
     # gradient-descent fitting (BASELINE config 4)
@@ -89,6 +98,26 @@ def build_parser() -> argparse.ArgumentParser:
                    help="approach step as a fraction of the closest-sphere "
                    "distance (the reference's speed law, main.cpp:213)")
     return p
+
+
+def _auto_mesh_shape(n: int, cfg) -> tuple[int, int]:
+    """Pick a (rows, cols) factorization of <= n devices that wastes
+    the least padding for this frame (blocks are tile-aligned,
+    ceil-divided — `parallel.sharded._block_cfg`), preferring square-ish
+    meshes on ties. Every factorization works; this is just the
+    cheapest one."""
+    best = (1, 1)
+    best_cost = None
+    for my in range(1, n + 1):
+        mx = n // my
+        if mx < 1:
+            continue
+        bh = -(-cfg.height // (my * cfg.tile_h)) * cfg.tile_h
+        bw = -(-cfg.width // (mx * cfg.tile_w)) * cfg.tile_w
+        cost = (my * bh * mx * bw, abs(my - mx))
+        if best_cost is None or cost < best_cost:
+            best_cost, best = cost, (my, mx)
+    return best
 
 
 def main(argv=None) -> int:
@@ -149,6 +178,42 @@ def main(argv=None) -> int:
         print(f"error: {e}", file=sys.stderr)
         return 2
 
+    # Device mesh: auto-shard over every local device (the reference
+    # spawns hardware_concurrency() workers, `Sphereflake.cpp:67-74`);
+    # --devices 1 opts out, --mesh RxC pins the factorization.
+    mesh = None
+    n_avail = len(jax.devices())
+    if args.mesh is not None:
+        my, mx = (int(v) for v in args.mesh.lower().split("x"))
+        if my * mx > n_avail:
+            print(
+                f"error: --mesh {args.mesh} needs {my * mx} devices, "
+                f"have {n_avail}", file=sys.stderr,
+            )
+            return 2
+    else:
+        n = min(args.devices or n_avail, n_avail)
+        my, mx = _auto_mesh_shape(n, cfg)
+    if my * mx > 1:
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        mesh = Mesh(
+            _np.asarray(jax.devices()[: my * mx]).reshape(my, mx),
+            ("ty", "tx"),
+        )
+
+    if mesh is not None:
+        from sphereflake_tpu.parallel.sharded import (
+            render_frame_sharded,
+            render_gbuffer_sharded,
+        )
+
+        render_frame_ = lambda s, c: render_frame_sharded(s, c, mesh)
+        render_gbuffer_ = lambda s, c: render_gbuffer_sharded(s, c, mesh)
+    else:
+        render_frame_, render_gbuffer_ = render_frame, render_gbuffer
+
     pos = [float(v) for v in args.camera_pos.split(",")]
     scene = SceneParams(
         camera=CameraParams(
@@ -162,10 +227,15 @@ def main(argv=None) -> int:
         ssao=SSAOParams.reference_default(),
     )
 
+    mesh_str = (
+        f" mesh={mesh.devices.shape[0]}x{mesh.devices.shape[1]}"
+        if mesh is not None
+        else ""
+    )
     print(
         f"sphereflake-tpu: {cfg.width}x{cfg.height} depth={cfg.max_depth} "
         f"lod={cfg.lod_factor} tiles={cfg.tiles_y}x{cfg.tiles_x} "
-        f"device={jax.devices()[0].platform}"
+        f"device={jax.devices()[0].platform} x{n_avail}{mesh_str}"
     )
 
     if args.animate:
@@ -215,6 +285,7 @@ def main(argv=None) -> int:
         res = fit(
             scene, tgt_pos, tgt_nrm, cfg,
             steps=args.fit_steps, optimizer=opt, opt_state=opt_state,
+            mesh=mesh,
             param_filter=camera_only if args.fit_params == "camera" else None,
             log_every=max(1, args.fit_steps // 10),
         )
@@ -227,7 +298,7 @@ def main(argv=None) -> int:
                 args.checkpoint, scene=res.scene, opt_state=res.opt_state
             )
             print(f"wrote {args.checkpoint}")
-        image, _ = render_frame(res.scene, cfg)
+        image, _ = render_frame_(res.scene, cfg)
         write_png(args.output, np.asarray(image))
         print(f"wrote {args.output}")
         return 0
@@ -235,6 +306,7 @@ def main(argv=None) -> int:
     if args.progressive:
         from sphereflake_tpu.runtime.progressive import (
             progressive_init,
+            progressive_prepare,
             progressive_step,
         )
         from sphereflake_tpu.runtime.checkpoint import (
@@ -247,9 +319,18 @@ def main(argv=None) -> int:
             state = load_checkpoint(args.resume, {"progressive": state})[
                 "progressive"
             ]
+        # Static camera: bin the frame once, reuse across every step
+        # (re-run progressive_prepare on camera change).
+        prepared = (
+            progressive_prepare(scene, cfg)
+            if cfg.algorithm == "binned"
+            else None
+        )
         t0 = time.perf_counter()
         for step in range(args.progressive):
-            state = progressive_step(state, scene, cfg, batch_size=args.batch)
+            state = progressive_step(
+                state, scene, cfg, batch_size=args.batch, prepared=prepared
+            )
             if step == 0:
                 jax.block_until_ready(state.position)  # compile barrier
                 t0 = time.perf_counter()
@@ -287,8 +368,8 @@ def main(argv=None) -> int:
         cam = _dc.replace(scene.camera, yaw=scene.camera.yaw + 1e-7 * i)
         sc = _dc.replace(scene, camera=cam)
         if args.mode == "composite":
-            return render_frame(sc, cfg)
-        return None, render_gbuffer(sc, cfg)
+            return render_frame_(sc, cfg)
+        return None, render_gbuffer_(sc, cfg)
 
     image, gb = one_frame(0)
     jax.block_until_ready(gb.min_t)  # compile barrier

@@ -197,6 +197,16 @@ class RenderConfig:
                 f"image {self.width}x{self.height} must be divisible by "
                 f"tile {self.tile_w}x{self.tile_h}"
             )
+        if self.algorithm == "binned" and self.max_depth > 13:
+            raise ValueError(
+                f"max_depth {self.max_depth} > 13 is not renderable in "
+                "f32: the two-lane path code is exact only through "
+                "level 13 (hi < 9^7 < 2^24), and level-13 spheres "
+                "(radius 3^-13 ~ 6.3e-7) already sit near the f32 "
+                "relative-precision floor of the center coordinates "
+                "(eps ~ 1.2e-7) — deeper levels would render garbage, "
+                "not geometry (see ops/binned.py DEEP_MAX_DEPTH)"
+            )
         if self.max_depth < 0:
             raise ValueError("max_depth must be >= 0")
         if self.band_tile_rows is not None:
@@ -212,16 +222,23 @@ class RenderConfig:
     def pair_cap(self) -> int:
         """Static (node, tile) pair-table capacity for the binned path.
 
-        Pairs scale with BOTH tiles (~80 per tile at the reference
-        pose, which needs ~59) and live nodes (a small frame still
-        pairs every live node with at least one tile), so the budget
-        is the max of both, capped at 2^18 (the fill packing's 18-bit
-        `first` budget). Overflow is counted and fails the bench
-        rather than dropping silently."""
+        Pairs scale with tiles (~80 per tile at the reference pose,
+        which needs ~59), with live nodes (a small frame still pairs
+        every live node with at least one tile), and — on deep-dive
+        configs — with DEPTH: past level 7 the live set spans many
+        capped levels (up to ~global_cap each; an interior dive pose
+        really does carry 5+ near-cap levels at once), so the node
+        term grows by max_depth - 6. The budget is the max of all
+        terms, capped at 2^20 (the fill packing's `first` bit budget).
+        Overflow is counted and fails the bench rather than dropping
+        silently; the capacity ladder doubles global_cap (and with it
+        this cap) on retry."""
         tiles = self.tiles_x * self.tiles_y
+        depth_levels = max(1, self.max_depth - 6)
         return min(
-            1 << 18,
-            max(2 * self.global_cap, -(-tiles * 80 // 2048) * 2048),
+            1 << 20,
+            max(2 * self.global_cap * depth_levels,
+                -(-tiles * 64 // 2048) * 2048),
         )
 
     @property

@@ -43,12 +43,21 @@ from sphereflake_tpu.config import FractalParams, RenderConfig
 Array = Any
 _BIG = np.float32(3.0e38)
 
-PAIR_CAP = 1 << 18  # upper bound on cfg.pair_cap (18-bit fill packing)
+PAIR_CAP = 1 << 20  # upper bound on cfg.pair_cap (20-bit fill packing;
+# the remaining 11 bits cover tile grids to 2048 per axis = 64k^2 px)
 SEG_WIN = 512  # pairs per kernel DMA window (segments of ANY length
 # are consumed by looping windows — SEG_WIN is a staging-buffer size,
 # not a correctness cap)
 _UNROLL = 8  # independent node chains per loop iteration (VPU ILP)
 _LANES = 128
+
+# NOTE (round 4): a front-to-back segment ordering + in-kernel
+# early-exit (stop a tile once every ray's best t beats the remaining
+# candidates' conservative min distance) was implemented and measured
+# +1.45 ms/frame SLOWER at 1080p: the lax.while_loop's per-quad
+# cross-lane max reduction serializes the pipeline that the fori_loop's
+# 8 independent chains otherwise keep full. Revisit only with a
+# block-granular (>= 32-candidate) check or a two-phase design.
 
 
 _IMIN = -(2**31)
@@ -100,7 +109,17 @@ def _running_max_1d(x: Array) -> Array:
 
 
 _POW7 = 9**7  # path-code hi/lo split: lo < 9^7 stays f32-exact
-DEEP_MAX_DEPTH = 14  # hi < 9^7 bound on the two-lane code
+# Depth bound of the two-lane f32 path code: a level-d code (with its
+# sentinel) lies in [9^d, 9^(d+1)), so at d = 13 hi = code // 9^7 stays
+# below 9^7 = 4,782,969 < 2^24 and both lanes are f32-exact. d = 14
+# would put hi in [9^7, 9^8) and 9^8 = 43,046,721 > 2^24 silently
+# rounds codes to wrong nodes (round-3 advisor finding). 13 is also the
+# physical f32 limit: level-13 spheres have radius 3^-13 ~ 6.3e-7,
+# approaching the f32 relative-precision floor (eps ~ 1.2e-7) of the
+# center coordinates themselves. The reference's recursion is unbounded
+# in principle (`Sphereflake.h:146-153`) but its f32 math hits the same
+# wall.
+DEEP_MAX_DEPTH = 13
 
 
 def _expand_cap(cfg: RenderConfig) -> int:
@@ -109,17 +128,6 @@ def _expand_cap(cfg: RenderConfig) -> int:
     defaults to exactly 9x this, so compacted parents' children fill
     the emitted level with NO second (emit-time) compaction sort."""
     return max(4096, cfg.global_cap // 9)
-
-
-def _level_sizes(cfg: RenderConfig) -> list[int]:
-    """Static emitted node count per level: dense 9^l while that fits
-    cfg.global_cap, then compacted to the cap's closest live nodes."""
-    sizes, n = [], 1
-    for _ in range(cfg.max_depth + 1):
-        sizes.append(min(n, cfg.global_cap))
-        n = 9 * (min(sizes[-1], _expand_cap(cfg))
-                 if 9 * sizes[-1] > cfg.global_cap else sizes[-1])
-    return sizes
 
 
 def expand_global(
@@ -142,7 +150,7 @@ def expand_global(
     the 9^14 dense tree.
 
     Path codes ride two lanes (code = hi * 9^7 + lo) so depths past 7
-    stay exact in f32 kernel rows (`DEEP_MAX_DEPTH` = 14).
+    stay exact in f32 kernel rows (`DEEP_MAX_DEPTH` = 13).
 
     Returns (nodes dict with [N] component arrays over all levels
     concatenated — cx, cy, cz, cc, r2, lodr, code (lo, int32),
@@ -310,7 +318,7 @@ def corner_basis(cam, width: int, height: int):
     return minv
 
 
-def bin_nodes(nodes, minv, cfg: RenderConfig, frame=None):
+def bin_nodes(nodes, minv, cfg: RenderConfig, frame=None, corners=None):
     """Conservative (node, tile) pairing + one sort into tile segments.
 
     `frame` = (frame_w, frame_h, x_off, y_off) describes the full image
@@ -319,7 +327,17 @@ def bin_nodes(nodes, minv, cfg: RenderConfig, frame=None):
     the frame whose corner-ray basis `minv` was built from). Defaults
     to the unsharded identity (cfg.width, cfg.height, 0, 0).
 
-    Returns (pairs [8, cfg.pair_cap], starts [T], lens [T], n_pairs,
+    `corners` = [4, 3] frame corner-ray directions (unnormalized is
+    fine). When given, nodes BEHIND every corner ray are dropped: the
+    kernel (like the reference, `SIMD_AVX.h:245-249`) rejects
+    tca = dot(c, dir) < 0, and tca is linear in dir over the frustum
+    (every frame ray is a convex combination of the corners), so
+    max_i dot(c, corner_i) < 0 proves no frame ray can hit the node.
+    Without this cull, behind-camera nodes take the ENTIRE tile grid
+    (the conservative straddle fallback), which multiplied the pair
+    table by the tile count at interior poses (round-3 verdict #8).
+
+    Returns (pairs [5|6, cfg.pair_cap], starts [T], lens [T], n_pairs,
     pair_overflow)."""
     pair_cap = cfg.pair_cap
     tw, th = cfg.tile_w, cfg.tile_h
@@ -336,6 +354,15 @@ def bin_nodes(nodes, minv, cfg: RenderConfig, frame=None):
     oy = y_off / th
 
     c = [nodes["cx"], nodes["cy"], nodes["cz"]]
+    # Binning radius = 2r (the reference's bounding radius), NOT the
+    # self radius r, even though only self-hits are tested: the f32
+    # kernel's disc = tca^2 + (r^2 - |c|^2) suffers catastrophic
+    # cancellation (|tca| ~ |c| ~ 8), so rays up to
+    # ~|c|^2 * eps / (2r) OUTSIDE the exact r-sphere can still
+    # register tangent "hits". The extra r of binning margin is what
+    # keeps those numerically-borderline grazes deterministic across
+    # band/shard layouts (tightening to r produced band-count-dependent
+    # images at silhouettes — round-4 finding).
     rad = nodes["rad"]
     s = [
         minv[k, 0] * c[0] + minv[k, 1] * c[1] + minv[k, 2] * c[2]
@@ -375,44 +402,62 @@ def bin_nodes(nodes, minv, cfg: RenderConfig, frame=None):
     tx1 = jnp.where(front, tx1, tx_n - 1)
     ty1 = jnp.where(front, ty1, ty_n - 1)
     bw = tx1 - tx0 + 1
-    counts = jnp.where(nodes["live"], bw * (ty1 - ty0 + 1), 0)
+    keep = nodes["live"]
+    if corners is not None:
+        cd = jnp.full_like(c[0], -1.0)
+        for i in range(4):
+            cd = jnp.maximum(
+                cd,
+                corners[i, 0] * c[0] + corners[i, 1] * c[1]
+                + corners[i, 2] * c[2],
+            )
+        keep = keep & (cd >= 0.0)
+    counts = jnp.where(keep, bw * (ty1 - ty0 + 1), 0)
 
     offsets = jnp.cumsum(counts)  # inclusive
     n_pairs = offsets[-1]
     pair_overflow = jnp.maximum(n_pairs - pair_cap, 0)
 
-    # pair -> (node, tile), GATHER-FREE: random-index gathers over the
-    # pair array cost ~20 ns/element on TPU and dominated the round-2
-    # frame (31 of 53 ms — docs/PERF.md). Instead, scatter each live
+    # pair -> (node, tile), GATHER-FREE: per-pair gathers of node
+    # attributes cost ~20-40 ns/element on this TPU REGARDLESS of
+    # index locality (a round-4 attempt to replace this fill with two
+    # "cache-friendly" gathers of packed words cost +2.6 ms/frame —
+    # TPU gathers are not CPU gathers). Instead, scatter each live
     # node's attributes at its FIRST pair slot and fill the gaps with
     # running maxima: `first` is strictly increasing over live nodes,
     # so packing attr into the low bits of (first << k | attr) makes
     # each fill a monotone max-scan — 4 scans + 4 scatters, all
-    # bandwidth-bound, replace 6 gathers.
+    # bandwidth-bound.
     first = offsets - counts
     # Live nodes have strictly increasing `first`, so in-bounds slots
-    # are UNIQUE — scatter with mode="drop" + unique_indices (dead
-    # nodes aim at PAIR_CAP, out of bounds) instead of a dup-tolerant
-    # .at[].max, and all four fill sources ride ONE batched scatter.
+    # are UNIQUE — scatter with mode="drop" + unique_indices, all four
+    # fill sources riding ONE batched scatter. Dead and overflowed
+    # nodes aim at pair_cap + their own index: out of bounds (dropped)
+    # but DISTINCT, so the uniqueness promise holds for every index
+    # (XLA makes duplicate indices UB when uniqueness is promised,
+    # even dropped ones — round-3 advisor finding).
+    n_nodes = counts.shape[0]
+    iota_n = jnp.arange(n_nodes, dtype=jnp.int32)
     slot = jnp.where(
-        (counts > 0) & (first < pair_cap), first, pair_cap
+        (counts > 0) & (first < pair_cap), first, pair_cap + iota_n
     )
     iota_p = jnp.arange(pair_cap, dtype=jnp.int32)
 
-    # Bit budget: first < PAIR_CAP (2^18) needs 18 bits; tile coords
-    # and widths fit the remaining 13 even at 16384^2 (tiles_x 512 ->
+    # Bit budget: first < PAIR_CAP (2^20) needs 20 bits; tile coords
+    # and widths fit the remaining 11 even at 16384^2 (tiles_x 512 ->
     # 9 bits), one attribute per scan.
-    fbits = max(1, (PAIR_CAP - 1).bit_length())  # fixed: first < 2^18
+    fbits = max(1, (PAIR_CAP - 1).bit_length())  # fixed: first < 2^20
     abits = 31 - fbits
     assert tx_n <= (1 << abits) and ty_n <= (1 << abits), (
         f"tile grid {tx_n}x{ty_n} exceeds the {abits}-bit pack budget"
     )
+    assert pair_cap <= PAIR_CAP
     sources = jnp.stack(
         [
-            jnp.arange(counts.shape[0], dtype=jnp.int32),  # node id
+            iota_n,  # node id
             (first << abits) | tx0,
             (first << abits) | ty0,
-            (first << abits) | bw,
+            (first << abits) | jnp.minimum(bw, (1 << abits) - 1),
         ]
     )
     marks = (
@@ -421,42 +466,60 @@ def bin_nodes(nodes, minv, cfg: RenderConfig, frame=None):
         .set(sources, mode="drop", unique_indices=True)
     )
     pair_node, pk_x0, pk_y0, pk_bw = _running_max_rows(marks)
+    pair_node = jnp.maximum(pair_node, 0)
     amask = (1 << abits) - 1
-    p_first = pk_x0 >> abits
-    pair_rank = iota_p - p_first
+    pair_rank = iota_p - (pk_x0 >> abits)
     pair_valid = iota_p < n_pairs  # offsets are gapless
     nb_w = jnp.maximum(pk_bw & amask, 1)
-    p_tx = (pk_x0 & amask) + pair_rank % nb_w
-    p_ty = (pk_y0 & amask) + pair_rank // nb_w
-    tile = jnp.where(pair_valid, p_ty * tx_n + p_tx, n_tiles)
-
-    # One variadic sort carries the node id with its key — the
-    # argsort-then-gather form costs two extra 262k gathers (~3.5 ms
-    # each on TPU) for the same result.
-    tile_sorted, node_sorted = jax.lax.sort(
-        (tile, pair_node), num_keys=1
+    # Overflowed tails can decode garbage coordinates — clip each axis
+    # (avoiding i32 overflow in the tile index product) so they land on
+    # the sentinel and sort to the end (overflow is counted anyway).
+    p_tx = jnp.minimum((pk_x0 & amask) + pair_rank % nb_w, tx_n)
+    p_ty = jnp.minimum((pk_y0 & amask) + pair_rank // nb_w, ty_n)
+    tile = jnp.where(
+        pair_valid, jnp.minimum(p_ty * tx_n + p_tx, n_tiles), n_tiles
     )
 
-    # Kernel row layout: rc = r^2 - |c|^2 and rc4 = 4r^2 - |c|^2 fold
-    # the self/bounding discriminants into one FMA each in the kernel
-    # (disc = tca^2 + rc >= 0 <=> d2 <= r^2).
-    rows = jnp.stack(
-        [
-            nodes["cx"], nodes["cy"], nodes["cz"],
-            nodes["r2"] - nodes["cc"],
-            4.0 * nodes["r2"] - nodes["cc"],
-            nodes["lodr"],
-            nodes["code"].astype(jnp.float32),
-            nodes["code_hi"].astype(jnp.float32),
-        ]
-    )  # [8, N]
-    pairs = rows[:, node_sorted]  # [8, PAIR_CAP]
+    # Sort by ONE packed (tile, node) key when both fit 31 bits
+    # (halves the sort's data movement vs the two-array variadic
+    # sort); the argsort-then-gather form costs two extra big random
+    # gathers for the same result.
+    node_bits = max(1, (n_nodes - 1).bit_length())
+    tile_bits = (n_tiles + 1).bit_length()
+    if node_bits + tile_bits <= 31:
+        packed = (tile << node_bits) | pair_node
+        packed = jax.lax.sort(packed)
+        tile_sorted = packed >> node_bits
+        node_sorted = packed & ((1 << node_bits) - 1)
+    else:
+        tile_sorted, node_sorted = jax.lax.sort(
+            (tile, pair_node), num_keys=1
+        )
+
+    # Kernel row layout: the MINIMAL per-pair payload — (cx, cy, cz,
+    # r2, code[, code_hi]), 5 rows (6 past depth 6). The kernel
+    # re-derives cc / rc / rc4 / lodr from these with ~6 SCALAR-unit
+    # ops per node (the node loop is scalar-driven; the scalar unit
+    # runs beside the VPU for free), because this gather is the
+    # single most expensive op of the frame: ~2.3 ns per gathered
+    # element on this TPU, so every row costs ~0.4 ms at 1080p
+    # (round-4 A/B: 8 rows = 3.0 ms of the 5.6 ms bin stage).
+    deep_rows = cfg.max_depth >= 7
+    row_list = [
+        nodes["cx"], nodes["cy"], nodes["cz"],
+        nodes["r2"],
+        nodes["code"].astype(jnp.float32),
+    ]
+    if deep_rows:
+        row_list.append(nodes["code_hi"].astype(jnp.float32))
+    rows = jnp.stack(row_list)  # [5|6, N]
+    pairs = rows[:, node_sorted]  # [R, pair_cap]
     # Dead pairs (tile == n_tiles) sit at the end; starts/lens ignore
-    # them, but stamp rc = rc4 = -BIG defensively so no ray test (nor
-    # an unrolled-tail or window-overshoot read) can ever pass.
+    # them, but stamp r2 = -BIG defensively (disc = tca^2 + r2 - cc
+    # can then never reach 0) so no ray test — nor an unrolled-tail or
+    # window-overshoot read — can ever pass.
     dead = tile_sorted >= n_tiles
     pairs = pairs.at[3, :].set(jnp.where(dead, -_BIG, pairs[3, :]))
-    pairs = pairs.at[4, :].set(jnp.where(dead, -_BIG, pairs[4, :]))
 
     bounds = jnp.searchsorted(
         tile_sorted, jnp.arange(n_tiles + 1, dtype=jnp.int32)
@@ -468,7 +531,7 @@ def bin_nodes(nodes, minv, cfg: RenderConfig, frame=None):
 
 
 def make_pairs_kernel(win: int, n_tiles: int, deep: bool = False,
-                      group: int = 8):
+                      group: int = 8, fused=None, lod_sq: float = 4900.0):
     """Kernel body v3: windowed node loop, overlapped DMA, ILP, and
     `group` tiles per grid step.
 
@@ -500,23 +563,33 @@ def make_pairs_kernel(win: int, n_tiles: int, deep: bool = False,
       the components are already loaded for `tca`): the forward pass
       then needs NO `resolve_codes` re-walk at all; gradients recompute
       it in the custom VJP (`binned_trace_vjp`).
+    - **`fused` = (tile_w, tile_h, tiles_x) fuses RAYGEN and SHADING
+      into the kernel** (the full-frame production mode): instead of a
+      dirs input, a 16-scalar camera vector arrives via scalar
+      prefetch — [tl(3), ex(3), ey(3), origin(3), x_off, y_off,
+      frame_w, frame_h] — and each tile derives its ray directions
+      from its own grid position (`Sphereflake.cpp:162-167` corner
+      interpolation, the same association order as the XLA raygen so
+      the two agree to the last ulp). The epilogue converts the winner
+      rows to the G-buffer directly: (min_t, lo[, hi], pos3, nrm3).
+      This removes the entire XLA raygen/tile/shade stage — tens of
+      dispatch-overhead-bound ops per frame on this backend.
     """
     assert n_tiles % group == 0
     stride = 6 if deep else 5
     buf_w = win + _LANES + _UNROLL  # aligned window + unroll overshoot
+    if fused is not None:
+        tile_w, tile_h, tiles_x = fused
+        assert tile_w & (tile_w - 1) == 0 and tile_w * tile_h == 1024
 
-    def kernel(
-        starts_ref,  # SMEM [T] scalar-prefetch
-        lens_ref,  # SMEM [T] scalar-prefetch
-        dirs_ref,  # VMEM [group, 3, 8, 128]
-        pairs_ref,  # ANY (HBM) [8, PAIR_CAP + win + 128]
-        out_ref,  # VMEM [group, 5|6, 8, 128]: t, lo[, hi], cx, cy, cz
-        mout_ref,  # SMEM [group, 4]
-        qf,  # SMEM scratch [2, 8, buf_w] first-window double buffer
-        qr,  # SMEM scratch [8, buf_w] windows >= 1
-        sem_f,  # DMA semaphores [2]
-        sem_r,  # DMA semaphore
-    ):
+    def kernel(*refs):
+        if fused is not None:
+            (starts_ref, lens_ref, cam_ref, pairs_ref, out_ref,
+             mout_ref, qf, qr, sem_f, sem_r) = refs
+            dirs_ref = None
+        else:
+            (starts_ref, lens_ref, dirs_ref, pairs_ref, out_ref,
+             mout_ref, qf, qr, sem_f, sem_r) = refs
         i = pl.program_id(0)
         big = jnp.full((8, _LANES), _BIG, jnp.float32)
         zero = jnp.zeros((8, _LANES), jnp.float32)
@@ -545,9 +618,34 @@ def make_pairs_kernel(win: int, n_tiles: int, deep: bool = False,
 
             start = starts_ref[tile]
             length = lens_ref[tile]
-            dx = dirs_ref[g, 0]
-            dy = dirs_ref[g, 1]
-            dz = dirs_ref[g, 2]
+            if fused is None:
+                dx = dirs_ref[g, 0]
+                dy = dirs_ref[g, 1]
+                dz = dirs_ref[g, 2]
+            else:
+                # In-kernel raygen: this tile's pixel block, corner
+                # interpolation from 12 camera scalars. Same op order
+                # as `render._render_gbuffer_soa` raygen.
+                txs = jax.lax.rem(tile, tiles_x)
+                tys = jax.lax.div(tile, tiles_x)
+                sub = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 0)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
+                flat = sub * _LANES + lane
+                col = jax.lax.bitwise_and(flat, tile_w - 1)
+                row = jax.lax.shift_right_logical(
+                    flat, tile_w.bit_length() - 1
+                )
+                fpx = (txs * tile_w + col).astype(jnp.float32)
+                fpy = (tys * tile_h + row).astype(jnp.float32)
+                u = (fpx + cam_ref[12]) / cam_ref[14]
+                v = (fpy + cam_ref[13]) / cam_ref[15]
+                dx = (cam_ref[0] + (cam_ref[3] * u + cam_ref[6] * v)) - cam_ref[9]
+                dy = (cam_ref[1] + (cam_ref[4] * u + cam_ref[7] * v)) - cam_ref[10]
+                dz = (cam_ref[2] + (cam_ref[5] * u + cam_ref[8] * v)) - cam_ref[11]
+                dnorm = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+                dx = dx / dnorm
+                dy = dy / dnorm
+                dz = dz / dnorm
             n_win = (length + win - 1) // win
 
             def window(w, acc, from_first, start=start, length=length,
@@ -568,10 +666,20 @@ def make_pairs_kernel(win: int, n_tiles: int, deep: bool = False,
                         cx = load(0, idx)
                         cy = load(1, idx)
                         cz = load(2, idx)
-                        rc = load(3, idx)
-                        rc4 = load(4, idx)
-                        lodr = load(5, idx)
-                        code = load(6, idx)
+                        r2 = load(3, idx)
+                        code = load(4, idx)
+                        # Derived per-node constants on the SCALAR
+                        # unit (runs beside the VPU): carrying them as
+                        # pair rows instead cost ~0.4 ms/row of gather
+                        # at 1080p. cc/rc/rc4 match the old
+                        # precomputed rows bit-for-bit; lodr =
+                        # lod*sqrt(r^2) may differ from lod*r by 1 ulp
+                        # (LOD-boundary nodes only, consistently
+                        # across all binned paths).
+                        cc = cx * cx + cy * cy + cz * cz
+                        rc = r2 - cc
+                        rc4 = 4.0 * r2 - cc
+                        lodr = lod_sq * jnp.sqrt(jnp.maximum(r2, 0.0))
                         tca = dx * cx + dy * cy + dz * cz
                         t2 = tca * tca
                         disc = t2 + rc  # r^2 - d^2
@@ -589,7 +697,7 @@ def make_pairs_kernel(win: int, n_tiles: int, deep: bool = False,
                         acc[a] = sel(ts, bt)
                         acc[a + 1] = sel(code, acc[a + 1])
                         if deep:
-                            acc[a + 2] = sel(load(7, idx), acc[a + 2])
+                            acc[a + 2] = sel(load(5, idx), acc[a + 2])
                         b = a + stride - 3
                         acc[b] = sel(cx, acc[b])
                         acc[b + 1] = sel(cy, acc[b + 1])
@@ -597,7 +705,8 @@ def make_pairs_kernel(win: int, n_tiles: int, deep: bool = False,
                     return tuple(acc)
 
                 nq = (cnt + _UNROLL - 1) // _UNROLL
-                return jax.lax.fori_loop(0, nq, node_quad, acc, unroll=False)
+                return jax.lax.fori_loop(0, nq, node_quad, acc,
+                                         unroll=False)
 
             acc0 = (
                 (big,) + (zero,) * (stride - 1)
@@ -606,7 +715,9 @@ def make_pairs_kernel(win: int, n_tiles: int, deep: bool = False,
 
             def rest_body(w, acc, start=start):
                 wstart = start + w * win
-                base = pl.multiple_of((wstart // _LANES) * _LANES, _LANES)
+                base = pl.multiple_of(
+                    (wstart // _LANES) * _LANES, _LANES
+                )
                 cp = pltpu.make_async_copy(
                     pairs_ref.at[:, pl.ds(base, win + _LANES)],
                     qr.at[:, : win + _LANES],
@@ -616,15 +727,46 @@ def make_pairs_kernel(win: int, n_tiles: int, deep: bool = False,
                 cp.wait()
                 return window(w, acc, from_first=False)
 
-            acc = jax.lax.fori_loop(1, n_win, rest_body, acc, unroll=False)
+            acc = jax.lax.fori_loop(
+                1, n_win, rest_body, acc, unroll=False
+            )
 
             best = list(acc[:stride])
             for u in range(1, _UNROLL):
                 take = acc[stride * u] < best[0]
                 for c in range(stride):
                     best[c] = jnp.where(take, acc[stride * u + c], best[c])
-            for c in range(stride):
-                out_ref[g, c] = best[c]
+            if fused is None:
+                for c in range(stride):
+                    out_ref[g, c] = best[c]
+            else:
+                # In-kernel G-buffer shading (`render.shade_gbuffer`
+                # math): position = dir * t (camera-relative,
+                # `Sphereflake.cpp:186-195`), normal = (pos - center)
+                # normalized, zeros at sky.
+                bt, blo = best[0], best[1]
+                bcx, bcy, bcz = best[-3], best[-2], best[-1]
+                hitv = blo >= 1.0
+                if deep:
+                    hitv = hitv | (best[2] >= 1.0)
+                t0 = jnp.where(hitv, bt, 0.0)
+                pxv, pyv, pzv = dx * t0, dy * t0, dz * t0
+                wx, wy, wz = pxv - bcx, pyv - bcy, pzv - bcz
+                nn = jnp.sqrt(jnp.maximum(wx * wx + wy * wy + wz * wz, 0.0))
+                nn = jnp.where(nn > 0.0, nn, 1.0)
+                hf = hitv.astype(jnp.float32)
+                out_ref[g, 0] = jnp.where(hitv, bt, _BIG)
+                out_ref[g, 1] = blo
+                base_c = 2
+                if deep:
+                    out_ref[g, 2] = best[2]
+                    base_c = 3
+                out_ref[g, base_c + 0] = pxv
+                out_ref[g, base_c + 1] = pyv
+                out_ref[g, base_c + 2] = pzv
+                out_ref[g, base_c + 3] = hf * (wx / nn)
+                out_ref[g, base_c + 4] = hf * (wy / nn)
+                out_ref[g, base_c + 5] = hf * (wz / nn)
             mout_ref[g, 0] = length
             mout_ref[g, 1] = jnp.int32(0)  # windowed: nothing can drop
             mout_ref[g, 2] = jnp.int32(0)
@@ -636,7 +778,7 @@ def make_pairs_kernel(win: int, n_tiles: int, deep: bool = False,
 @partial(jax.jit, static_argnames=("cfg", "interpret"))
 def trace_pairs_pallas(
     tile_dirs: Array,  # [T, 1024, 3]
-    pairs: Array,  # [8, PAIR_CAP]
+    pairs: Array,  # [5|6, cfg.pair_cap]
     starts: Array,  # [T] int32
     lens: Array,  # [T] int32
     cfg: RenderConfig,
@@ -652,7 +794,7 @@ def trace_pairs_pallas(
     out, metrics = trace_pairs_pallas_soa(
         dirs_k, pairs, starts, lens, cfg, interpret=interpret
     )
-    deep = cfg.max_depth > 7
+    deep = cfg.max_depth >= 7
     code_hi = out[:, 2].reshape(T, rays) if deep else None
     return (
         out[:, 0].reshape(T, rays),
@@ -665,7 +807,7 @@ def trace_pairs_pallas(
 @partial(jax.jit, static_argnames=("cfg", "interpret"))
 def trace_pairs_pallas_soa(
     dirs_k: Array,  # [T, 3, 8, 128] lane-major
-    pairs: Array,  # [8, PAIR_CAP]
+    pairs: Array,  # [5|6, cfg.pair_cap]
     starts: Array,  # [T] int32
     lens: Array,  # [T] int32
     cfg: RenderConfig,
@@ -673,10 +815,16 @@ def trace_pairs_pallas_soa(
 ):
     """SoA core: returns (out [T, C, 8, 128], metrics [T, 1, 4]) with
     rows (t, code_lo[, code_hi], cx, cy, cz): C = 6 when
-    cfg.max_depth > 7, else 5."""
+    cfg.max_depth >= 7, else 5.
+
+    The hi lane is needed from depth 7 onward (not 8): `expand_global`
+    carries lo9 // 9^7 unconditionally, so LEVEL-7 codes already spill
+    their sentinel into hi — dropping it at max_depth == 7 misreported
+    level-7 hits as misses (round-3 advisor finding)."""
     T = dirs_k.shape[0]
-    deep = cfg.max_depth > 7
+    deep = cfg.max_depth >= 7
     n_out = 6 if deep else 5
+    n_rows = 6 if deep else 5
     group = 8
     Tp = -(-T // group) * group
     sg = jax.lax.stop_gradient
@@ -690,13 +838,25 @@ def trace_pairs_pallas_soa(
         )
         lens = jnp.concatenate([lens, jnp.zeros((Tp - T,), lens.dtype)])
     # Pad so the last window's DMA never reads out of bounds; padding
-    # carries rc = rc4 = -BIG so no test can pass on it.
+    # carries r2 = -BIG so no test can pass on it.
+    # Mosaic DMA slices must be 8-row aligned: pad the 5|6 gathered
+    # rows to 8 with zero rows the kernel never reads (the zero rows
+    # cost DMA bandwidth, not gather time — bandwidth is not the
+    # bottleneck, the ~2.3 ns/element gather is).
+    if n_rows < 8:
+        pairs = jnp.concatenate(
+            [pairs, jnp.zeros((8 - n_rows, pairs.shape[1]), pairs.dtype)],
+            axis=0,
+        )
     pad = jnp.zeros((8, SEG_WIN + _LANES), pairs.dtype)
-    pad = pad.at[3:5, :].set(-_BIG)
+    pad = pad.at[3, :].set(-_BIG)
     pairs_pad = jnp.concatenate([pairs, pad], axis=1)
 
     buf_w = SEG_WIN + _LANES + _UNROLL
-    kernel = make_pairs_kernel(SEG_WIN, Tp, deep=deep, group=group)
+    kernel = make_pairs_kernel(
+        SEG_WIN, Tp, deep=deep, group=group,
+        lod_sq=float(np.float32(cfg.lod_factor**2)),
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(Tp // group,),
@@ -706,7 +866,7 @@ def trace_pairs_pallas_soa(
                 lambda i, s, l: (i, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
             pl.BlockSpec(
@@ -738,6 +898,90 @@ def trace_pairs_pallas_soa(
     return out[:T], metrics[:T].reshape(T, 1, 4)
 
 
+@partial(jax.jit, static_argnames=("cfg", "interpret"))
+def trace_pairs_fused_soa(
+    cam: Array,  # [16] f32: tl(3), ex(3), ey(3), origin(3), x_off,
+    # y_off, frame_w, frame_h
+    pairs: Array,  # [5|6, cfg.pair_cap]
+    starts: Array,  # [T] int32
+    lens: Array,  # [T] int32
+    cfg: RenderConfig,
+    interpret: bool = False,
+):
+    """Fully fused production kernel: raygen + ray tests + G-buffer
+    shading in ONE pallas_call (no dirs array ever exists in HBM).
+    Returns (out [T, C, 8, 128], metrics [T, 1, 4]) with rows
+    (min_t, code_lo[, code_hi], px, py, pz, nx, ny, nz):
+    C = 9 when cfg.max_depth >= 7, else 8. min_t is _BIG at sky;
+    pos/nrm are zeros at sky (`Sphereflake.cpp:186-201` semantics)."""
+    T = cfg.tiles_y * cfg.tiles_x
+    deep = cfg.max_depth >= 7
+    n_out = 9 if deep else 8
+    n_rows = 6 if deep else 5
+    group = 8
+    Tp = -(-T // group) * group
+    sg = jax.lax.stop_gradient
+    cam, pairs = sg((cam, pairs))
+    if Tp != T:
+        starts = jnp.concatenate(
+            [starts, jnp.zeros((Tp - T,), starts.dtype)]
+        )
+        lens = jnp.concatenate([lens, jnp.zeros((Tp - T,), lens.dtype)])
+    # Mosaic DMA slices must be 8-row aligned: pad the 5|6 gathered
+    # rows to 8 with zero rows the kernel never reads (the zero rows
+    # cost DMA bandwidth, not gather time — bandwidth is not the
+    # bottleneck, the ~2.3 ns/element gather is).
+    if n_rows < 8:
+        pairs = jnp.concatenate(
+            [pairs, jnp.zeros((8 - n_rows, pairs.shape[1]), pairs.dtype)],
+            axis=0,
+        )
+    pad = jnp.zeros((8, SEG_WIN + _LANES), pairs.dtype)
+    pad = pad.at[3, :].set(-_BIG)
+    pairs_pad = jnp.concatenate([pairs, pad], axis=1)
+
+    buf_w = SEG_WIN + _LANES + _UNROLL
+    kernel = make_pairs_kernel(
+        SEG_WIN, Tp, deep=deep, group=group,
+        fused=(cfg.tile_w, cfg.tile_h, cfg.tiles_x),
+        lod_sq=float(np.float32(cfg.lod_factor**2)),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(Tp // group,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (group, n_out, 8, _LANES),
+                lambda i, s, l, c: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (group, 4), lambda i, s, l, c: (i, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((2, 8, buf_w), jnp.float32),
+            pltpu.SMEM((8, buf_w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out, metrics = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((Tp, n_out, 8, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, 4), jnp.int32),
+        ),
+        interpret=interpret,
+    )(starts, lens, cam, pairs_pad)
+    return out[:T], metrics[:T].reshape(T, 1, 4)
+
+
 def binned_pairs(
     scene, cfg: RenderConfig, root: Array, templates: Array, frame=None
 ):
@@ -747,7 +991,7 @@ def binned_pairs(
 
     `frame` = (frame_w, frame_h, x_off, y_off) when cfg describes one
     device's block of a larger sharded frame (see `bin_nodes`)."""
-    from sphereflake_tpu.camera import tile_frustum_planes
+    from sphereflake_tpu.camera import corner_rays, tile_frustum_planes
 
     frame_w, frame_h, x_off, y_off = (
         frame if frame is not None else (cfg.width, cfg.height, 0.0, 0.0)
@@ -762,118 +1006,142 @@ def binned_pairs(
         root, templates, scene.fractal, cfg, block_planes
     )
     minv = corner_basis(scene.camera, frame_w, frame_h)
+    # This block's corner-ray directions (padded extent included: the
+    # padded rows/cols extrapolate the corner interpolation, so the
+    # hull must cover them for the behind-camera cull to be exact).
+    origin, tl, tr, bl = corner_rays(scene.camera, frame_w / frame_h)
+    ex, ey = tr - tl, bl - tl
+    u0 = jnp.asarray(x_off, jnp.float32) / frame_w
+    u1 = (jnp.asarray(x_off, jnp.float32) + cfg.padded_width) / frame_w
+    v0 = jnp.asarray(y_off, jnp.float32) / frame_h
+    v1 = (jnp.asarray(y_off, jnp.float32) + cfg.padded_height) / frame_h
+    base = tl - origin
+    corners = jnp.stack(
+        [base + u * ex + v * ey for u in (u0, u1) for v in (v0, v1)]
+    )
     pairs, starts, lens, (n_pairs, pair_ovf) = bin_nodes(
-        nodes, minv, cfg, frame=frame
+        nodes, minv, cfg, frame=frame, corners=corners
     )
     return pairs, starts, lens, (n_pairs, pair_ovf + exp_overflow)
 
 
-def trace_tiles_binned(
-    tiles: Array,  # [T, 1024, 3]
-    scene,
-    cfg: RenderConfig,
-    root: Array,  # unused (binned_trace re-derives); kept for dispatch parity
-    templates: Array,  # unused likewise
-    frame=None,  # (frame_w, frame_h, x_off, y_off) for sharded blocks
-):
-    """Full binned pipeline -> TraceResult-compatible tuple, AoS entry
-    (the sharded block path). Runs the same resolve-free forward +
-    custom-VJP backward as the SoA pipeline (`binned_trace`)."""
-    from sphereflake_tpu.ops.pallas_traversal import depth_reached_soa
+def camera_vector(scene, cfg: RenderConfig, frame=None):
+    """The 16-scalar camera pack consumed by the fused kernel's
+    in-kernel raygen: [tl(3), ex(3), ey(3), origin(3), x_off, y_off,
+    frame_w, frame_h] (`Sphereflake.cpp:162-167` corner
+    parameterization)."""
+    from sphereflake_tpu.camera import corner_rays
 
-    T, rays, _ = tiles.shape
     frame_w, frame_h, x_off, y_off = (
         frame if frame is not None else (cfg.width, cfg.height, 0.0, 0.0)
     )
-    dirs_k = jnp.moveaxis(tiles, 2, 1).reshape(T, 3, 8, _LANES)
-    interpret = jax.default_backend() != "tpu"
-    min_t, cx, cy, cz, hit_f, lo, hi, m, povf = binned_trace(
-        (cfg, frame_w, frame_h, interpret),
-        scene, dirs_k,
-        (jnp.asarray(x_off, jnp.float32), jnp.asarray(y_off, jnp.float32)),
+    origin, tl, tr, bl = corner_rays(scene.camera, frame_w / frame_h)
+    ex, ey = tr - tl, bl - tl
+    tail = jnp.stack(
+        [
+            jnp.asarray(x_off, jnp.float32),
+            jnp.asarray(y_off, jnp.float32),
+            jnp.float32(frame_w),
+            jnp.float32(frame_h),
+        ]
     )
-    center = jnp.stack([cx, cy, cz], axis=-1).reshape(T, rays, 3)
-    overflow = (jnp.sum(m[:, 0, 1]) + povf).astype(jnp.int32)
-    depth_reached = depth_reached_soa(lo, cfg, hi)
-    return (
-        min_t.reshape(T, rays), center, (hit_f != 0.0).reshape(T, rays),
-        depth_reached, jnp.sum(m[:, 0, 0]).astype(jnp.int32), overflow,
-    )
+    return jnp.concatenate([tl, ex, ey, origin, tail])
 
 
-def _trace_primal(statics, scene, dirs_k, offs):
+def _gbuffer_primal(statics, scene, offs):
     cfg, frame_w, frame_h, interpret = statics
     from sphereflake_tpu.models.sphereflake import child_templates, root_frame
 
     root = root_frame(scene.camera.position)
     templates = child_templates(scene.fractal)
+    frame = (frame_w, frame_h, offs[0], offs[1])
     pairs, starts, lens, (_n, povf) = binned_pairs(
-        scene, cfg, root, templates,
-        frame=(frame_w, frame_h, offs[0], offs[1]),
+        scene, cfg, root, templates, frame=frame
     )
-    out, m = trace_pairs_pallas_soa(
-        dirs_k, pairs, starts, lens, cfg, interpret=interpret
+    cam = camera_vector(scene, cfg, frame=frame)
+    out, m = trace_pairs_fused_soa(
+        cam, pairs, starts, lens, cfg, interpret=interpret
     )
-    deep = cfg.max_depth > 7
-    t = out[:, 0].reshape(-1)
-    lo = out[:, 1].reshape(-1)
-    hi = out[:, 2].reshape(-1) if deep else jnp.zeros_like(lo)
-    cx = out[:, -3].reshape(-1)
-    cy = out[:, -2].reshape(-1)
-    cz = out[:, -1].reshape(-1)
+    deep = cfg.max_depth >= 7
+    flat = lambda r: out[:, r].reshape(-1)
+    min_t = flat(0)
+    lo = flat(1)
+    hi = flat(2) if deep else jnp.zeros_like(lo)
+    px, py, pz = flat(-6), flat(-5), flat(-4)
+    nx, ny, nz = flat(-3), flat(-2), flat(-1)
     hit = ((lo >= 1.0) | (hi >= 1.0)).astype(jnp.float32)
-    min_t = jnp.where(hit > 0.0, t, _BIG)
     # All-float outputs so the custom-JVP tangent structure is uniform
     # (the non-differentiable ones get zero tangents; counts stay exact
     # in f32 — they are < 2^24).
-    return (min_t, cx, cy, cz, hit, lo, hi,
+    return (min_t, px, py, pz, nx, ny, nz, hit, lo, hi,
             m.astype(jnp.float32), povf.astype(jnp.float32))
 
 
 @partial(jax.custom_jvp, nondiff_argnums=(0,))
-def binned_trace(statics, scene, dirs_k, offs):
-    """Forward binned trace WITHOUT the resolve re-walk: the kernel
-    already computed the winner's t and center, so the primal reads
-    them straight out of the kernel rows (saving the ~2 ms
-    `resolve_codes` pass per frame). Differentiability is preserved by
-    a custom JVP whose tangent re-derives (min_t, center) from the
-    saved path codes via `resolve_codes_soa` and differentiates that
+def binned_gbuffer(statics, scene, offs):
+    """The production forward pass: ONE fused Pallas dispatch computes
+    raygen + binned ray tests + G-buffer shading; the XLA side only
+    bins nodes and reshapes tiles to images. No `resolve_codes` re-walk
+    and no dirs/shade arrays exist in the forward program.
+
+    Differentiability is preserved by a custom JVP whose tangent
+    re-derives (min_t, position, normal) from the saved path codes via
+    `resolve_codes_soa` + the shading math, and differentiates that
     recomputation — the same straight-through-selection gradient the
-    resolve-based forward produced. JAX transposes the (linear) JVP
-    automatically, so reverse mode (fitting) works too (SURVEY §7
-    stage 5, recompute-based backward).
+    resolve-based forward produced (SURVEY §7 stage 5). JAX transposes
+    the (linear) JVP automatically, so reverse mode (fitting) works.
 
     statics = (cfg, frame_w, frame_h, interpret); offs = (x_off, y_off)
-    traced pixel offsets of this block within the frame.
-    Returns (min_t, cx, cy, cz, hit(f32 0/1), code_lo, code_hi,
-    metrics(f32), pair_overflow(f32)); only the first four carry
-    nonzero derivatives.
+    pixel offsets of this block within the frame.
+    Returns flat [T*1024] arrays (min_t, px, py, pz, nx, ny, nz,
+    hit(f32 0/1), code_lo, code_hi, metrics(f32 [T,1,4]),
+    pair_overflow(f32)); min_t/pos/nrm carry derivatives.
     """
-    return _trace_primal(statics, scene, dirs_k, offs)
+    return _gbuffer_primal(statics, scene, offs)
 
 
-@binned_trace.defjvp
-def _trace_jvp(statics, primals, tangents):
-    cfg = statics[0]
-    scene, dirs_k, offs = primals
-    d_scene, d_dirs, _d_offs = tangents
-    outs = _trace_primal(statics, scene, dirs_k, offs)
-    lo, hi = outs[5], outs[6]
+@binned_gbuffer.defjvp
+def _gbuffer_jvp(statics, primals, tangents):
+    cfg, frame_w, frame_h, _interpret = statics
+    scene, offs = primals
+    d_scene, _d_offs = tangents
+    outs = _gbuffer_primal(statics, scene, offs)
+    lo, hi = outs[8], outs[9]
     from sphereflake_tpu.models.sphereflake import child_templates, root_frame
+    from sphereflake_tpu.ops.intersect import safe_sqrt
     from sphereflake_tpu.ops.pallas_traversal import resolve_codes_soa
 
-    def h(scene, dirs_k):
-        dx = dirs_k[:, 0].reshape(-1)
-        dy = dirs_k[:, 1].reshape(-1)
-        dz = dirs_k[:, 2].reshape(-1)
+    def h(scene):
+        # Differentiable raygen for this block (same math the kernel
+        # runs in f32 scalars), tiled to the kernel's flat ray order.
+        from sphereflake_tpu.camera import corner_rays
+        from sphereflake_tpu.render import _tile
+
+        origin, tl, tr, bl = corner_rays(scene.camera, frame_w / frame_h)
+        ex, ey = tr - tl, bl - tl
+        u = (jnp.arange(cfg.padded_width, dtype=jnp.float32)[None, :]
+             + offs[0]) / frame_w
+        v = (jnp.arange(cfg.padded_height, dtype=jnp.float32)[:, None]
+             + offs[1]) / frame_h
+        comps = [(tl[a] + (ex[a] * u + ey[a] * v)) - origin[a]
+                 for a in range(3)]
+        dnorm = jnp.sqrt(comps[0] ** 2 + comps[1] ** 2 + comps[2] ** 2)
+        dx, dy, dz = (_tile(c / dnorm, cfg).reshape(-1) for c in comps)
         root = root_frame(scene.camera.position)
         templates = child_templates(scene.fractal)
-        min_t, cx, cy, cz, _ = resolve_codes_soa(
+        min_t, cx, cy, cz, hit = resolve_codes_soa(
             dx, dy, dz, lo, root, templates, scene.fractal, cfg,
-            code_hi_f=hi if cfg.max_depth > 7 else None,
+            code_hi_f=hi if cfg.max_depth >= 7 else None,
         )
-        return min_t, cx, cy, cz
+        t0 = jnp.where(hit, min_t, 0.0)
+        px, py, pz = dx * t0, dy * t0, dz * t0
+        wx, wy, wz = px - cx, py - cy, pz - cz
+        nn = safe_sqrt(wx * wx + wy * wy + wz * wz)
+        nn = jnp.where(nn > 0, nn, 1.0)
+        hf = hit.astype(jnp.float32)
+        return (min_t, px, py, pz,
+                hf * (wx / nn), hf * (wy / nn), hf * (wz / nn))
 
-    _, (dt, dcx, dcy, dcz) = jax.jvp(h, (scene, dirs_k), (d_scene, d_dirs))
-    zeros = tuple(jnp.zeros_like(o) for o in outs[4:])
-    return outs, (dt, dcx, dcy, dcz) + zeros
+    _, d7 = jax.jvp(h, (scene,), (d_scene,))
+    zeros = tuple(jnp.zeros_like(o) for o in outs[7:])
+    return outs, d7 + zeros

@@ -550,7 +550,11 @@ def resolve_codes_soa(
     level = jnp.zeros_like(lo)
     for k in range(1, min(depth, 7) + 1):
         level = level + ((hi == 0) & (lo >= pow9[k])).astype(jnp.int32)
-    for k in range(0, max(depth - 7, 0) + 1 if depth > 7 else 0):
+    # hi carries from LEVEL 7 onward (expand_global splits at 9^7
+    # unconditionally), so the hi-lane level count runs at depth == 7
+    # too — `depth > 7` here dropped every level-7 winner (round-3
+    # advisor finding).
+    for k in range(0, max(depth - 7, 0) + 1 if depth >= 7 else 0):
         level = level + (hi >= pow9[k]).astype(jnp.int32) * (
             7 if k == 0 else 1
         )
@@ -625,7 +629,7 @@ def depth_reached_soa(code_f: Array, cfg: RenderConfig,
     depth = jnp.zeros((), jnp.int32)
     for k in range(1, min(cfg.max_depth, 7) + 1):
         depth = depth + (lo >= 9**k).astype(jnp.int32)
-    if cfg.max_depth > 7 and code_hi_f is not None:
+    if cfg.max_depth >= 7 and code_hi_f is not None:
         hi = jnp.max(code_hi_f).astype(jnp.int32)
         deep = jnp.zeros((), jnp.int32)
         for k in range(1, cfg.max_depth - 7 + 1):

@@ -55,6 +55,15 @@ def _fragcoord(h: int, w: int):
     return x, y
 
 
+def block_fragcoord(bh: int, bw: int, y0, x0):
+    """Fragcoords of a [bh, bw] block whose top-left pixel sits at
+    (x0, y0) of the full target — the sharded post passes evaluate
+    each device's block of the same full-resolution shader
+    (`parallel.sharded.render_frame_sharded`)."""
+    fx, fy = _fragcoord(bh, bw)
+    return fx + jnp.asarray(x0, jnp.float32), fy + jnp.asarray(y0, jnp.float32)
+
+
 def _reflect(incident, normal):
     """GLSL reflect(I, N) = I - 2*dot(N, I)*N, batched over [..., 2]."""
     d = jnp.sum(incident * normal, axis=-1, keepdims=True)
@@ -69,14 +78,20 @@ def ssao_pass(
     sample_radius: Array,
     out_h: int,
     out_w: int,
+    frag=None,
 ) -> Array:
     """`post_ssao.glsl` on the whole image -> AO [out_h, out_w].
 
     position/normal: [H, W, 3] G-buffer planes (full resolution; sampled
     NEAREST like the reference's G-buffer textures). The SSAO target may
     be smaller (downScale, `SSAO.cpp:58`).
+
+    `frag` = (fx, fy) overrides the fragcoord grid to evaluate only a
+    block of the (out_h, out_w) target (sharded post; see
+    `block_fragcoord`). out_h/out_w keep their full-target meaning for
+    the uv normalization either way.
     """
-    fx, fy = _fragcoord(out_h, out_w)
+    fx, fy = frag if frag is not None else _fragcoord(out_h, out_w)
     fb = jnp.asarray([out_w, out_h], jnp.float32)
     uv_x, uv_y = fx / fb[0], fy / fb[1]
 
@@ -105,7 +120,7 @@ def ssao_pass(
         occ = occ * (1.0 / (1.0 + dist2 * params.scale)) * params.intensity
         return jnp.where(dist2 > 0, occ, 0.0)
 
-    ao = jnp.zeros((out_h, out_w), jnp.float32)
+    ao = jnp.zeros_like(fx)
     for i in range(4):
         coord1 = _reflect(jnp.broadcast_to(_KERNEL[i], nz.shape), nz) * rad[..., None]
         c2x = coord1[..., 0] * 0.707 - coord1[..., 1] * 0.707
@@ -127,21 +142,23 @@ def blur_pass(
     direction: tuple[float, float],
     out_h: int,
     out_w: int,
+    frag=None,
 ) -> Array:
     """`post_ssao_blur.glsl`: depth/normal-gated separable gaussian.
 
     source: [h, w] AO plane (LINEAR-filtered like the FBO texture it
     replaces); position/normal: full-res G-buffer (NEAREST).
+    `frag` evaluates a block of the full target (see `ssao_pass`).
     """
-    fx, fy = _fragcoord(out_h, out_w)
+    fx, fy = frag if frag is not None else _fragcoord(out_h, out_w)
     uv_x, uv_y = fx / out_w, fy / out_h
 
     pos = sample_nearest_clamp(position, uv_x, uv_y)
     nrm = sample_nearest_clamp(normal, uv_x, uv_y)
 
     dx, dy = direction
-    color = jnp.zeros((out_h, out_w), jnp.float32)
-    leftover = jnp.zeros((out_h, out_w), jnp.float32)
+    color = jnp.zeros_like(fx)
+    leftover = jnp.zeros_like(fx)
 
     for i in (1, 2):
         off = _BLUR_OFFSET[i - 1]
@@ -167,10 +184,12 @@ def composite_pass(
     camera_position: Array,
     out_h: int,
     out_w: int,
+    frag=None,
 ) -> Array:
     """`post_final.glsl`: sky -> black; else
-    (0.5 + 0.5*(position + cameraPosition)) * ssao."""
-    fx, fy = _fragcoord(out_h, out_w)
+    (0.5 + 0.5*(position + cameraPosition)) * ssao.
+    `frag` evaluates a block of the full target (see `ssao_pass`)."""
+    fx, fy = frag if frag is not None else _fragcoord(out_h, out_w)
     uv_x, uv_y = fx / out_w, fy / out_h
     pos = sample_nearest_clamp(position, uv_x, uv_y)
     sky = jnp.sum(pos * pos, axis=-1) == 0.0

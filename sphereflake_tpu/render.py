@@ -132,21 +132,10 @@ def trace_tiles(
     root = root_frame(scene.camera.position)
     templates = child_templates(scene.fractal)
 
-    if cfg.algorithm == "binned":
-        from sphereflake_tpu.ops.binned import trace_tiles_binned
-
-        min_t, center, hit, depth_r, nodes_n, overflow = trace_tiles_binned(
-            tiles, scene, cfg, root, templates, frame=frame
-        )
-        return TraceResult(
-            min_t=min_t,
-            center=center,
-            hit=hit,
-            max_depth_reached=depth_r,
-            nodes_visited=nodes_n,
-            overflow=overflow,
-        )
-
+    assert cfg.algorithm != "binned", (
+        "the binned path renders whole blocks (raygen is fused into "
+        "the kernel) — use render_gbuffer / _render_gbuffer_binned"
+    )
     if cfg.algorithm == "pallas":
         from sphereflake_tpu.ops.pallas_traversal import (
             resolve_codes,
@@ -194,8 +183,108 @@ def trace_tiles(
     )
 
 
+def _untile_rows(out: Array, cfg: RenderConfig) -> list:
+    """[T, C, 8, 128] kernel rows -> list of C [H, W] images, one
+    `_untile` transpose per row. Per-row (rather than one batched 5D
+    transpose) for two reasons: XLA can DCE the rows a consumer never
+    reads (the bench consumes only min_t), and the batched
+    [ty,tx,C,32,32] transpose measured 2.8 ms/frame at 1080p — worse
+    than 7 separate 8 MB transposes."""
+    T, C = out.shape[0], out.shape[1]
+    rays = cfg.tile_h * cfg.tile_w
+    return [
+        _untile(out[:, c].reshape(T, rays), cfg) for c in range(C)
+    ]
+
+
+def _binned_rows(scene: SceneParams, cfg: RenderConfig, frame, interpret):
+    """Shaded kernel rows [T, 7, 8, 128] (min_t, pos3, nrm3) for cfg's
+    full tile grid, plus (depth_reached, nodes_visited, overflow).
+
+    `frame` = (frame_w, frame_h, x_off, y_off): cfg may describe one
+    device's block of a larger sharded frame. When
+    `cfg.effective_band_rows` is set (explicitly, or automatically for
+    tile counts that would blow the pair budget — the 16384^2 enabler,
+    `/root/reference/README.md:51`), the grid renders in horizontal
+    bands inside a lax.map; bands COMPOSE with sharding because each
+    band is just a further y-offset block of the same frame (round-3
+    verdict item 4)."""
+    from sphereflake_tpu.ops.binned import binned_gbuffer
+    from sphereflake_tpu.ops.pallas_traversal import depth_reached_soa
+
+    fw, fh, x0, y0 = frame
+    x0 = jnp.asarray(x0, jnp.float32)
+    y0 = jnp.asarray(y0, jnp.float32)
+
+    def one(c, y_off):
+        (min_t, px, py, pz, nx, ny, nz, _hitf, lo, hi, m, povf) = (
+            binned_gbuffer((c, fw, fh, interpret), scene, (x0, y_off))
+        )
+        Tb = c.tiles_y * c.tiles_x
+        rows = jnp.moveaxis(
+            jnp.stack([min_t, px, py, pz, nx, ny, nz], axis=0)
+            .reshape(7, Tb, 8, 128),
+            0, 1,
+        )
+        return (
+            rows,
+            depth_reached_soa(lo, c, hi),
+            jnp.sum(m[..., 0]).astype(jnp.int32),
+            (jnp.sum(m[..., 1]) + povf).astype(jnp.int32),
+        )
+
+    band_rows = cfg.effective_band_rows
+    if band_rows is None:
+        rows, depth_r, nodes_n, ovf = one(cfg, y0)
+        return rows, (depth_r, nodes_n, ovf)
+
+    band_px = band_rows * cfg.tile_h
+    n_bands = cfg.tiles_y // band_rows
+    bcfg = dataclasses.replace(
+        cfg, height=band_px, band_tile_rows=None, width=cfg.padded_width
+    )
+    Tb = bcfg.tiles_y * bcfg.tiles_x
+
+    def band(b):
+        return one(bcfg, y0 + (b * band_px).astype(jnp.float32))
+
+    rows_b, depth_b, nodes_b, ovf_b = jax.lax.map(band, jnp.arange(n_bands))
+    return (
+        rows_b.reshape(n_bands * Tb, 7, 8, 128),
+        (jnp.max(depth_b), jnp.sum(nodes_b), jnp.sum(ovf_b)),
+    )
+
+
+def _render_gbuffer_binned(scene: SceneParams, cfg: RenderConfig) -> GBuffer:
+    """The fused production pipeline: ONE Pallas dispatch computes
+    raygen + binned ray tests + G-buffer shading (`binned_gbuffer`);
+    XLA's remaining jobs are the node binning and the tile->image
+    untiles (banding handled inside `_binned_rows`)."""
+    interpret = jax.default_backend() != "tpu"
+    rows, (depth_r, nodes_n, overflow) = _binned_rows(
+        scene, cfg, (cfg.width, cfg.height, 0.0, 0.0), interpret
+    )
+    imgs = _untile_rows(rows, cfg)
+    min_t_img = imgs[0]
+    hit_img = min_t_img < _BIG
+    metrics = RenderMetrics(
+        max_depth_reached=depth_r,
+        nodes_visited=nodes_n,
+        overflow=overflow,
+        closest_distance=jnp.min(min_t_img),
+        rays_traced=jnp.int32(cfg.width * cfg.height),
+    )
+    return GBuffer(
+        position=jnp.stack(imgs[1:4], axis=-1),
+        normal=jnp.stack(imgs[4:7], axis=-1),
+        min_t=min_t_img,
+        hit=hit_img,
+        metrics=metrics,
+    )
+
+
 def _render_gbuffer_soa(scene: SceneParams, cfg: RenderConfig) -> GBuffer:
-    """SoA pipeline for the Pallas production paths.
+    """SoA pipeline for the per-tile pallas path.
 
     Every intermediate is an [N]- or [H, W]-shaped component array —
     never [..., 3] — because XLA pads a trailing dim of 3 to the
@@ -231,37 +320,22 @@ def _render_gbuffer_soa(scene: SceneParams, cfg: RenderConfig) -> GBuffer:
     templates = child_templates(scene.fractal)
     interpret = jax.default_backend() != "tpu"
 
-    if cfg.algorithm == "pallas":
-        planes = tile_frustum_planes(
-            scene.camera, cfg.width, cfg.height, cfg.tile_h, cfg.tile_w,
-            block_h=cfg.padded_height, block_w=cfg.padded_width,
-        )
-        out, m = trace_tiles_pallas_soa(
-            dirs_k, planes, root, templates, scene.fractal, cfg,
-            interpret=interpret,
-        )
-        nodes_n = jnp.sum(m[:, 0, 0])
-        overflow = jnp.sum(m[:, 0, 1])
-        depth_r = jnp.max(m[:, 0, 2])
-        code = out[:, 1].reshape(-1)
-        dx, dy, dz = (t.reshape(-1) for t in tiled)
-        min_t, cx, cy, cz, hit = resolve_codes_soa(
-            dx, dy, dz, code, root, templates, scene.fractal, cfg
-        )
-    else:  # binned: resolve-free forward, custom-VJP'd backward
-        from sphereflake_tpu.ops.binned import binned_trace
-        from sphereflake_tpu.ops.pallas_traversal import depth_reached_soa
-
-        zero = jnp.float32(0.0)
-        min_t, cx, cy, cz, hit_f, code, code_hi, m, pair_ovf = binned_trace(
-            (cfg, cfg.width, cfg.height, interpret),
-            scene, dirs_k, (zero, zero),
-        )
-        hit = hit_f != 0.0
-        dx, dy, dz = (t.reshape(-1) for t in tiled)
-        nodes_n = jnp.sum(m[:, 0, 0]).astype(jnp.int32)
-        overflow = (jnp.sum(m[:, 0, 1]) + pair_ovf).astype(jnp.int32)
-        depth_r = depth_reached_soa(code, cfg, code_hi)
+    planes = tile_frustum_planes(
+        scene.camera, cfg.width, cfg.height, cfg.tile_h, cfg.tile_w,
+        block_h=cfg.padded_height, block_w=cfg.padded_width,
+    )
+    out, m = trace_tiles_pallas_soa(
+        dirs_k, planes, root, templates, scene.fractal, cfg,
+        interpret=interpret,
+    )
+    nodes_n = jnp.sum(m[:, 0, 0])
+    overflow = jnp.sum(m[:, 0, 1])
+    depth_r = jnp.max(m[:, 0, 2])
+    code = out[:, 1].reshape(-1)
+    dx, dy, dz = (t.reshape(-1) for t in tiled)
+    min_t, cx, cy, cz, hit = resolve_codes_soa(
+        dx, dy, dz, code, root, templates, scene.fractal, cfg
+    )
     # Shading, SoA (same math as `ops.traversal.shade_gbuffer`).
     t0 = jnp.where(hit, min_t, 0.0)
     px, py, pz = dx * t0, dy * t0, dz * t0
@@ -296,107 +370,12 @@ def _render_gbuffer_soa(scene: SceneParams, cfg: RenderConfig) -> GBuffer:
     )
 
 
-def _render_gbuffer_banded(scene: SceneParams, cfg: RenderConfig) -> GBuffer:
-    """Binned pipeline over horizontal bands (`cfg.effective_band_rows`
-    tile rows each): every stage — expansion, binning, ray kernel,
-    resolve, shading — runs per band inside one `lax.map`, so the live
-    working set is one band's pair table + planes regardless of frame
-    size. This is what makes single-device 16384^2 frames possible
-    (`/root/reference/README.md:51`); multi-host sharding composes on
-    top (each device block runs its own bands if needed)."""
-    import dataclasses
-
-    from sphereflake_tpu.camera import corner_rays
-    from sphereflake_tpu.models.sphereflake import child_templates, root_frame
-    from sphereflake_tpu.ops.binned import binned_trace
-    from sphereflake_tpu.ops.intersect import safe_sqrt
-
-    band_rows = cfg.effective_band_rows
-    n_bands = cfg.tiles_y // band_rows
-    band_px = band_rows * cfg.tile_h
-    bcfg = dataclasses.replace(
-        cfg, height=band_px, band_tile_rows=None,
-        width=cfg.padded_width,
-    )
-    Tb = bcfg.tiles_y * bcfg.tiles_x
-    rays = cfg.tile_h * cfg.tile_w
-
-    origin, tl, tr, bl = corner_rays(scene.camera, cfg.width / cfg.height)
-    ex, ey = tr - tl, bl - tl
-    root = root_frame(scene.camera.position)
-    templates = child_templates(scene.fractal)
-    interpret = jax.default_backend() != "tpu"
-
-    def band(b):
-        y0 = b * band_px
-        u = jnp.arange(cfg.padded_width, dtype=jnp.float32)[None, :] / cfg.width
-        v = (jnp.arange(band_px, dtype=jnp.float32)[:, None]
-             + y0.astype(jnp.float32)) / cfg.height
-        comps = [(tl[a] + (ex[a] * u + ey[a] * v)) - origin[a] for a in range(3)]
-        dnorm = jnp.sqrt(comps[0] ** 2 + comps[1] ** 2 + comps[2] ** 2)
-        tiled = [_tile(c / dnorm, bcfg) for c in comps]
-        dirs_k = jnp.stack([t.reshape(Tb, 8, 128) for t in tiled], axis=1)
-
-        min_t, cx, cy, cz, hit_f, code, code_hi, m, povf = binned_trace(
-            (bcfg, cfg.width, cfg.height, interpret),
-            scene, dirs_k, (jnp.float32(0.0), y0.astype(jnp.float32)),
-        )
-        hit = hit_f != 0.0
-        dx, dy, dz = (t.reshape(-1) for t in tiled)
-        t0 = jnp.where(hit, min_t, 0.0)
-        px, py, pz = dx * t0, dy * t0, dz * t0
-        wx, wy, wz = px - cx, py - cy, pz - cz
-        nn = safe_sqrt(wx * wx + wy * wy + wz * wz)
-        nn = jnp.where(nn > 0, nn, 1.0)
-        hf = hit
-        pos = jnp.stack(
-            [jnp.where(hf, p, 0.0) for p in (px, py, pz)], axis=-1
-        ).reshape(Tb, rays, 3)
-        nrm = jnp.stack(
-            [jnp.where(hf, w / nn, 0.0) for w in (wx, wy, wz)], axis=-1
-        ).reshape(Tb, rays, 3)
-        from sphereflake_tpu.ops.pallas_traversal import depth_reached_soa
-
-        band_depth = depth_reached_soa(code, cfg, code_hi)
-        return (
-            pos, nrm, min_t.reshape(Tb, rays), hit.reshape(Tb, rays),
-            band_depth,
-            jnp.sum(m[:, 0, 0]).astype(jnp.int32),
-            (jnp.sum(m[:, 0, 1]) + povf).astype(jnp.int32),
-        )
-
-    pos_b, nrm_b, mt_b, hit_b, band_depth, nodes_n, ovf = jax.lax.map(
-        band, jnp.arange(n_bands)
-    )
-
-    def full(x):
-        return _untile(x.reshape(n_bands * Tb, rays, *x.shape[3:]), cfg)
-
-    min_t_img = full(mt_b)
-    hit_img = full(hit_b)
-    depth_r = jnp.max(band_depth)
-    metrics = RenderMetrics(
-        max_depth_reached=depth_r,
-        nodes_visited=jnp.sum(nodes_n),
-        overflow=jnp.sum(ovf),
-        closest_distance=jnp.min(jnp.where(hit_img, min_t_img, _BIG)),
-        rays_traced=jnp.int32(cfg.width * cfg.height),
-    )
-    return GBuffer(
-        position=full(pos_b),
-        normal=full(nrm_b),
-        min_t=min_t_img,
-        hit=hit_img,
-        metrics=metrics,
-    )
-
-
 @partial(jax.jit, static_argnames=("cfg",))
 def render_gbuffer(scene: SceneParams, cfg: RenderConfig) -> GBuffer:
     """Render the full-frame G-buffer for `scene` (pure, differentiable)."""
-    if cfg.algorithm == "binned" and cfg.effective_band_rows is not None:
-        return _render_gbuffer_banded(scene, cfg)
-    if cfg.algorithm in ("pallas", "binned"):
+    if cfg.algorithm == "binned":
+        return _render_gbuffer_binned(scene, cfg)
+    if cfg.algorithm == "pallas":
         return _render_gbuffer_soa(scene, cfg)
 
     from sphereflake_tpu.camera import tile_frustum_planes

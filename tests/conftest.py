@@ -22,3 +22,25 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite compiles ~100 sizeable XLA
+# programs (shard_map meshes, interpret-mode kernels); caching them on
+# disk cuts re-runs from tens of minutes to a few.
+_cache = os.path.expanduser(
+    os.environ.get("SPHEREFLAKE_TEST_CACHE", "~/.cache/jax-testcache")
+)
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop in-memory compiled executables between test modules: a
+    50-minute single-process run accumulated enough XLA state to
+    segfault the CPU compiler around the 95th test."""
+    yield
+    jax.clear_caches()

@@ -7,9 +7,15 @@ from sphereflake_tpu.cli import main
 
 
 def _common(*extra):
+    # --devices 1: these tests pin the single-device app surface; the
+    # auto-mesh default (every local device, like the reference's
+    # hardware_concurrency) is covered by the explicit multi-device
+    # tests below — without the pin, every CLI test would compile an
+    # 8-virtual-device shard_map program.
     return [
         "--width", "96", "--height", "64", "--depth", "2",
-        "--algorithm", "fast", "--tile", "32x32", *extra,
+        "--algorithm", "fast", "--tile", "32x32", "--devices", "1",
+        *extra,
     ]
 
 
@@ -152,3 +158,39 @@ def test_capacity_ladder_progression():
     cfg_f = RenderConfig(width=128, height=64, max_depth=3, tile_h=32,
                          tile_w=64, max_frontier=256)
     assert grow_capacity(cfg_f).max_frontier == 512
+
+
+def test_cli_multidevice_matches_single(tmp_path):
+    """The shipped app auto-shards over every local device (the
+    reference auto-uses every core, `Sphereflake.cpp:69`): under the
+    8-virtual-device test mesh, the default invocation must render
+    the SAME image as --devices 1, including through the composite
+    post pipeline, and at dims that do not divide over the mesh
+    (pad-and-crop blocks)."""
+    import jax
+
+    assert len(jax.devices()) == 8
+    a, b = tmp_path / "multi.png", tmp_path / "single.png"
+    args = ["--width", "160", "--height", "96", "--depth", "2",
+            "--algorithm", "binned", "--tile", "32x32"]
+    assert main(args + ["--output", str(a)]) == 0
+    assert main(args + ["--devices", "1", "--output", str(b)]) == 0
+    import numpy as _np
+    from PIL import Image
+
+    ia = _np.asarray(Image.open(a), dtype=_np.int16)
+    ib = _np.asarray(Image.open(b), dtype=_np.int16)
+    # 8-bit PNG quantization: tangent-graze interpret-mode flips may
+    # touch a handful of silhouette pixels (see test_binned's banded
+    # note); the images must agree essentially everywhere.
+    frac_off = (_np.abs(ia - ib) > 1).any(axis=-1).mean()
+    assert frac_off < 1e-3, f"{frac_off:.4%} of pixels differ"
+
+
+def test_cli_mesh_flag(tmp_path):
+    out = tmp_path / "m.png"
+    rc = main(["--width", "128", "--height", "64", "--depth", "2",
+               "--algorithm", "binned", "--tile", "32x32",
+               "--mesh", "2x2", "--output", str(out)])
+    assert rc == 0
+    assert out.stat().st_size > 0

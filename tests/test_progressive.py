@@ -156,3 +156,32 @@ def test_progressive_duplicate_pixels_deterministic():
                          batch_size=4096, scramble="per_sample")
     np.testing.assert_array_equal(np.asarray(a.position), np.asarray(b.position))
     np.testing.assert_array_equal(np.asarray(a.min_t), np.asarray(b.min_t))
+
+
+def test_prepared_pairs_match_unprepared():
+    """`progressive_prepare` hoists the frame binning out of the step
+    (VERDICT r3 item 5: re-binning per step cost ~50x the useful
+    kernel work); with a static camera the cached pair table must give
+    BIT-IDENTICAL steps."""
+    import numpy as np
+
+    from sphereflake_tpu.config import RenderConfig, default_scene
+    from sphereflake_tpu.runtime.progressive import (
+        progressive_init,
+        progressive_prepare,
+        progressive_step,
+    )
+
+    scene = default_scene()
+    cfg = RenderConfig(width=96, height=64, max_depth=2, tile_h=32,
+                       tile_w=32, algorithm="binned")
+    prepared = progressive_prepare(scene, cfg)
+    s_a = progressive_init(cfg, seed=7)
+    s_b = progressive_init(cfg, seed=7)
+    for _ in range(3):
+        s_a = progressive_step(s_a, scene, cfg, batch_size=1024)
+        s_b = progressive_step(s_b, scene, cfg, batch_size=1024,
+                               prepared=prepared)
+    np.testing.assert_array_equal(np.asarray(s_a.min_t), np.asarray(s_b.min_t))
+    np.testing.assert_array_equal(np.asarray(s_a.normal), np.asarray(s_b.normal))
+    assert int(s_a.samples_traced) == int(s_b.samples_traced)

@@ -5,7 +5,7 @@
 4096^2 and 8192^2 run the standard banded `render_gbuffer` (full
 G-buffer in HBM). 16384^2 (268M rays; full position+normal planes
 alone would be 6.4 GB) runs a lean band loop over the same
-`binned_trace` production kernel, keeping min_t + hit + a 8x-
+`binned_gbuffer` production kernel, keeping min_t + hit + a 8x-
 downsampled normal preview. Writes the preview PNG as evidence.
 
 Usage: python tools/bigframe.py [sizes...]   (default 4096 8192 16384)
@@ -25,10 +25,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sphereflake_tpu.camera import corner_rays
 from sphereflake_tpu.config import RenderConfig, default_scene
-from sphereflake_tpu.ops.binned import binned_trace
-from sphereflake_tpu.render import _tile, render_gbuffer
+from sphereflake_tpu.ops.binned import binned_gbuffer
+from sphereflake_tpu.render import render_gbuffer
 from sphereflake_tpu.utils.image import write_png
 
 scene0 = default_scene()
@@ -47,35 +46,22 @@ def lean_16k(cfg):
 
     @jax.jit
     def run(scene):
-        origin, tl, tr, bl = corner_rays(scene.camera, cfg.width / cfg.height)
-        ex, ey = tr - tl, bl - tl
-
         def band(b):
-            y0 = b * band_px
-            u = jnp.arange(cfg.padded_width, dtype=jnp.float32)[None, :] / cfg.width
-            v = (jnp.arange(band_px, dtype=jnp.float32)[:, None]
-                 + y0.astype(jnp.float32)) / cfg.height
-            comps = [(tl[a] + (ex[a] * u + ey[a] * v)) - origin[a]
-                     for a in range(3)]
-            dnorm = jnp.sqrt(comps[0]**2 + comps[1]**2 + comps[2]**2)
-            tiled = [_tile(c / dnorm, bcfg) for c in comps]
-            dirs_k = jnp.stack([t.reshape(Tb, 8, 128) for t in tiled], axis=1)
-            min_t, cx, cy, cz, hit, lo, hi, m, povf = binned_trace(
+            y0 = (b * band_px).astype(jnp.float32)
+            (min_t, _px, _py, _pz, nx, ny, nz, hitf, _lo, _hi, m, povf
+             ) = binned_gbuffer(
                 (bcfg, cfg.width, cfg.height, False),
-                scene, dirs_k, (jnp.float32(0.0), y0.astype(jnp.float32)),
+                scene, (jnp.float32(0.0), y0),
             )
-            t0 = jnp.where(hit, min_t, 0.0)
-            dx, dy, dz = (t.reshape(-1) for t in tiled)
-            w = [dx * t0 - cx, dy * t0 - cy, dz * t0 - cz]
-            nn = jnp.sqrt(jnp.maximum(w[0]**2 + w[1]**2 + w[2]**2, 1e-30))
+            hit = hitf != 0.0
+
             # untile band-local, then downsample the normal preview
             def untile(f):
                 x = f.reshape(bcfg.tiles_y, bcfg.tiles_x, cfg.tile_h,
                               cfg.tile_w)
                 return jnp.moveaxis(x, 2, 1).reshape(band_px,
                                                      cfg.padded_width)
-            nrm = [untile(jnp.where(hit, c / nn, 0.0))[::DS, ::DS]
-                   for c in w]
+            nrm = [untile(c)[::DS, ::DS] for c in (nx, ny, nz)]
             mt = untile(min_t)
             ht = untile(hit.astype(jnp.uint8))
             return (mt, ht, jnp.stack(nrm, axis=-1),
