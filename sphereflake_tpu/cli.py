@@ -61,6 +61,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--progressive", type=int, default=0, metavar="STEPS",
                    help="frameless Sobol accumulation for N steps instead of a full frame")
     p.add_argument("--batch", type=int, default=65536, help="samples per progressive step")
+    p.add_argument("--progressive-unit", choices=("tile", "sample"),
+                   default="tile",
+                   help="frameless refresh granularity: 'tile' traces "
+                   "whole Sobol-chosen 1024-ray tiles through the fused "
+                   "kernel (TPU-native; per-sample cost ~= full-frame); "
+                   "'sample' scatters individual Sobol pixels like the "
+                   "reference's packets (reference semantics, ~25x the "
+                   "per-sample cost on TPU)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--frames", type=int, default=1, help="frames to render (timing)")
     p.add_argument("--platform", choices=("auto", "cpu"), default="auto")
@@ -314,11 +322,9 @@ def main(argv=None) -> int:
             save_checkpoint,
         )
 
-        state = progressive_init(cfg, seed=args.seed)
-        if args.resume:
-            state = load_checkpoint(args.resume, {"progressive": state})[
-                "progressive"
-            ]
+        use_tiles = (
+            args.progressive_unit == "tile" and cfg.algorithm == "binned"
+        )
         # Static camera: bin the frame once, reuse across every step
         # (re-run progressive_prepare on camera change).
         prepared = (
@@ -326,29 +332,75 @@ def main(argv=None) -> int:
             if cfg.algorithm == "binned"
             else None
         )
-        t0 = time.perf_counter()
-        for step in range(args.progressive):
-            state = progressive_step(
-                state, scene, cfg, batch_size=args.batch, prepared=prepared
+        if use_tiles:
+            from sphereflake_tpu.runtime.progressive import (
+                progressive_tiles_init,
+                progressive_tiles_step,
+                tile_progressive_gbuffer,
             )
-            if step == 0:
-                jax.block_until_ready(state.position)  # compile barrier
-                t0 = time.perf_counter()
-        jax.block_until_ready(state.position)
-        dt = time.perf_counter() - t0
-        steps_timed = max(1, args.progressive - 1)
-        rays = steps_timed * args.batch
-        print(
-            f"progressive: {int(state.samples_traced)} samples, "
-            f"{rays / max(dt, 1e-9) / 1e6:.1f}M rays/s, "
-            f"closest sphere: {float(state.closest_distance):.4f}"
-        )
-        img = shade_normals(state.normal)
+
+            tiles_per_step = max(1, args.batch // 1024)
+            state = progressive_tiles_init(cfg, seed=args.seed)
+            if args.resume:
+                state = load_checkpoint(
+                    args.resume, {"progressive_tiles": state}
+                )["progressive_tiles"]
+            t0 = time.perf_counter()
+            for step in range(args.progressive):
+                state = progressive_tiles_step(
+                    state, scene, cfg, tiles_per_step=tiles_per_step,
+                    prepared=prepared,
+                )
+                if step == 0:
+                    jax.block_until_ready(state.rows)  # compile barrier
+                    t0 = time.perf_counter()
+            jax.block_until_ready(state.rows)
+            dt = time.perf_counter() - t0
+            rays = max(1, args.progressive - 1) * tiles_per_step * 1024
+            position, normal, min_t, _hit = tile_progressive_gbuffer(
+                state, cfg
+            )
+            print(
+                f"progressive[tile]: {int(state.samples_traced)} samples "
+                f"({int(state.covered.sum())}/{cfg.tiles_y * cfg.tiles_x} "
+                f"tiles covered), {rays / max(dt, 1e-9) / 1e6:.1f}M "
+                f"rays/s, closest sphere: "
+                f"{float(state.closest_distance):.4f}"
+            )
+        else:
+            state = progressive_init(cfg, seed=args.seed)
+            if args.resume:
+                state = load_checkpoint(args.resume, {"progressive": state})[
+                    "progressive"
+                ]
+            t0 = time.perf_counter()
+            for step in range(args.progressive):
+                state = progressive_step(
+                    state, scene, cfg, batch_size=args.batch,
+                    prepared=prepared,
+                )
+                if step == 0:
+                    jax.block_until_ready(state.position)  # compile barrier
+                    t0 = time.perf_counter()
+            jax.block_until_ready(state.position)
+            dt = time.perf_counter() - t0
+            steps_timed = max(1, args.progressive - 1)
+            rays = steps_timed * args.batch
+            position, normal, min_t = (
+                state.position, state.normal, state.min_t
+            )
+            print(
+                f"progressive: {int(state.samples_traced)} samples, "
+                f"{rays / max(dt, 1e-9) / 1e6:.1f}M rays/s, "
+                f"closest sphere: {float(state.closest_distance):.4f}"
+            )
+        img = shade_normals(normal)
         write_png(args.output, img)
         if args.gbuffer:
-            write_gbuffer_npz(args.gbuffer, state.position, state.normal, state.min_t)
+            write_gbuffer_npz(args.gbuffer, position, normal, min_t)
         if args.checkpoint:
-            save_checkpoint(args.checkpoint, progressive=state)
+            key = "progressive_tiles" if use_tiles else "progressive"
+            save_checkpoint(args.checkpoint, **{key: state})
             print(f"wrote {args.checkpoint}")
         print(f"wrote {args.output}")
         return 0

@@ -443,39 +443,72 @@ def bin_nodes(nodes, minv, cfg: RenderConfig, frame=None, corners=None):
     )
     iota_p = jnp.arange(pair_cap, dtype=jnp.int32)
 
-    # Bit budget: first < PAIR_CAP (2^20) needs 20 bits; tile coords
-    # and widths fit the remaining 11 even at 16384^2 (tiles_x 512 ->
-    # 9 bits), one attribute per scan.
-    fbits = max(1, (PAIR_CAP - 1).bit_length())  # fixed: first < 2^20
-    abits = 31 - fbits
-    assert tx_n <= (1 << abits) and ty_n <= (1 << abits), (
-        f"tile grid {tx_n}x{ty_n} exceeds the {abits}-bit pack budget"
-    )
     assert pair_cap <= PAIR_CAP
-    sources = jnp.stack(
-        [
-            iota_n,  # node id
-            (first << abits) | tx0,
-            (first << abits) | ty0,
-            (first << abits) | jnp.minimum(bw, (1 << abits) - 1),
-        ]
-    )
-    marks = (
-        jnp.full((4, pair_cap), -1, jnp.int32)
-        .at[:, slot]
-        .set(sources, mode="drop", unique_indices=True)
-    )
-    pair_node, pk_x0, pk_y0, pk_bw = _running_max_rows(marks)
-    pair_node = jnp.maximum(pair_node, 0)
-    amask = (1 << abits) - 1
-    pair_rank = iota_p - (pk_x0 >> abits)
+    # Scatter width is the bin stage's main cost (~3 ns per scattered
+    # element), so pack as tightly as the STATIC bit budgets allow:
+    # the fill only needs each packed word monotone over slots, and
+    # both `iota_n` (node id) and `first` are strictly increasing —
+    # either works as the high-bits carrier.
+    nbits = max(1, (n_nodes - 1).bit_length())
+    fbits_c = max(1, (pair_cap - 1).bit_length())
+    txb = max(1, (tx_n - 1).bit_length())
+    tyb = max(1, (ty_n - 1).bit_length())
+    bwb = tx_n.bit_length()  # bw in [1, tx_n]
+    two_rows = (nbits + bwb <= 31) and (fbits_c + txb + tyb <= 31)
+    if two_rows:
+        # Row A: (node << bwb) | bw; row B: (first << txb+tyb) |
+        # (tx0 << tyb) | ty0 — the whole decode from TWO scans.
+        sources = jnp.stack(
+            [
+                (iota_n << bwb) | bw,
+                (first << (txb + tyb)) | (tx0 << tyb) | ty0,
+            ]
+        )
+        marks = (
+            jnp.full((2, pair_cap), -1, jnp.int32)
+            .at[:, slot]
+            .set(sources, mode="drop", unique_indices=True)
+        )
+        pk_a, pk_b = _running_max_rows(marks)
+        pair_node = jnp.maximum(pk_a >> bwb, 0)
+        nb_w = jnp.maximum(pk_a & ((1 << bwb) - 1), 1)
+        p_first = pk_b >> (txb + tyb)
+        p_tx0 = (pk_b >> tyb) & ((1 << txb) - 1)
+        p_ty0 = pk_b & ((1 << tyb) - 1)
+    else:
+        # Fallback (very large grids/caps): one attribute per scan,
+        # `first` carrying the monotone high bits of each.
+        abits = 31 - fbits_c
+        assert tx_n <= (1 << abits) and ty_n <= (1 << abits), (
+            f"tile grid {tx_n}x{ty_n} exceeds the {abits}-bit pack budget"
+        )
+        amask = (1 << abits) - 1
+        sources = jnp.stack(
+            [
+                iota_n,  # node id
+                (first << abits) | tx0,
+                (first << abits) | ty0,
+                (first << abits) | jnp.minimum(bw, amask),
+            ]
+        )
+        marks = (
+            jnp.full((4, pair_cap), -1, jnp.int32)
+            .at[:, slot]
+            .set(sources, mode="drop", unique_indices=True)
+        )
+        pair_node, pk_x0, pk_y0, pk_bw = _running_max_rows(marks)
+        pair_node = jnp.maximum(pair_node, 0)
+        p_first = pk_x0 >> abits
+        p_tx0 = pk_x0 & amask
+        p_ty0 = pk_y0 & amask
+        nb_w = jnp.maximum(pk_bw & amask, 1)
+    pair_rank = iota_p - p_first
     pair_valid = iota_p < n_pairs  # offsets are gapless
-    nb_w = jnp.maximum(pk_bw & amask, 1)
     # Overflowed tails can decode garbage coordinates — clip each axis
     # (avoiding i32 overflow in the tile index product) so they land on
     # the sentinel and sort to the end (overflow is counted anyway).
-    p_tx = jnp.minimum((pk_x0 & amask) + pair_rank % nb_w, tx_n)
-    p_ty = jnp.minimum((pk_y0 & amask) + pair_rank // nb_w, ty_n)
+    p_tx = jnp.minimum(p_tx0 + pair_rank % nb_w, tx_n)
+    p_ty = jnp.minimum(p_ty0 + pair_rank // nb_w, ty_n)
     tile = jnp.where(
         pair_valid, jnp.minimum(p_ty * tx_n + p_tx, n_tiles), n_tiles
     )
@@ -531,7 +564,8 @@ def bin_nodes(nodes, minv, cfg: RenderConfig, frame=None, corners=None):
 
 
 def make_pairs_kernel(win: int, n_tiles: int, deep: bool = False,
-                      group: int = 8, fused=None, lod_sq: float = 4900.0):
+                      group: int = 8, fused=None, lod_sq: float = 4900.0,
+                      indirect: bool = False):
     """Kernel body v3: windowed node loop, overlapped DMA, ILP, and
     `group` tiles per grid step.
 
@@ -583,19 +617,31 @@ def make_pairs_kernel(win: int, n_tiles: int, deep: bool = False,
         assert tile_w & (tile_w - 1) == 0 and tile_w * tile_h == 1024
 
     def kernel(*refs):
-        if fused is not None:
+        if fused is not None and indirect:
+            (starts_ref, lens_ref, cam_ref, tmap_ref, pairs_ref,
+             out_ref, mout_ref, qf, qr, sem_f, sem_r) = refs
+            dirs_ref = None
+        elif fused is not None:
             (starts_ref, lens_ref, cam_ref, pairs_ref, out_ref,
              mout_ref, qf, qr, sem_f, sem_r) = refs
             dirs_ref = None
+            tmap_ref = None
         else:
             (starts_ref, lens_ref, dirs_ref, pairs_ref, out_ref,
              mout_ref, qf, qr, sem_f, sem_r) = refs
+            tmap_ref = None
         i = pl.program_id(0)
         big = jnp.full((8, _LANES), _BIG, jnp.float32)
         zero = jnp.zeros((8, _LANES), jnp.float32)
 
+        def tid_of(k):
+            # Indirect mode (sparse tile subsets, the frameless
+            # tile-progressive path): grid position k renders FRAME
+            # tile tmap[k]; starts/lens stay full-frame arrays.
+            return tmap_ref[k] if indirect else k
+
         def first_dma(tile_idx, dst_slot):
-            st = starts_ref[tile_idx]
+            st = starts_ref[tid_of(tile_idx)]
             base = pl.multiple_of((st // _LANES) * _LANES, _LANES)
             return pltpu.make_async_copy(
                 pairs_ref.at[:, pl.ds(base, win + _LANES)],
@@ -616,8 +662,9 @@ def make_pairs_kernel(win: int, n_tiles: int, deep: bool = False,
             def _():
                 first_dma(tile + 1, 1 - slot).start()
 
-            start = starts_ref[tile]
-            length = lens_ref[tile]
+            tid = tid_of(tile)
+            start = starts_ref[tid]
+            length = lens_ref[tid]
             if fused is None:
                 dx = dirs_ref[g, 0]
                 dy = dirs_ref[g, 1]
@@ -626,8 +673,8 @@ def make_pairs_kernel(win: int, n_tiles: int, deep: bool = False,
                 # In-kernel raygen: this tile's pixel block, corner
                 # interpolation from 12 camera scalars. Same op order
                 # as `render._render_gbuffer_soa` raygen.
-                txs = jax.lax.rem(tile, tiles_x)
-                tys = jax.lax.div(tile, tiles_x)
+                txs = jax.lax.rem(tid, tiles_x)
+                tys = jax.lax.div(tid, tiles_x)
                 sub = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 0)
                 lane = jax.lax.broadcasted_iota(jnp.int32, (8, _LANES), 1)
                 flat = sub * _LANES + lane
@@ -677,7 +724,11 @@ def make_pairs_kernel(win: int, n_tiles: int, deep: bool = False,
                         # (LOD-boundary nodes only, consistently
                         # across all binned paths).
                         cc = cx * cx + cy * cy + cz * cz
-                        rc = r2 - cc
+                        # The tail gate (k < cnt) folds into the
+                        # SCALAR rc: rc = -BIG makes disc < 0 for
+                        # every lane, saving two vector ops per
+                        # candidate in the hot loop.
+                        rc = jnp.where(k < cnt, r2 - cc, -_BIG)
                         rc4 = 4.0 * r2 - cc
                         lodr = lod_sq * jnp.sqrt(jnp.maximum(r2, 0.0))
                         tca = dx * cx + dy * cy + dz * cz
@@ -686,9 +737,7 @@ def make_pairs_kernel(win: int, n_tiles: int, deep: bool = False,
                         c1 = tca - lodr
                         # `SIMD_AVX.h:236-270` + the sqrt-free LOD gate.
                         lod_ok = (c1 < 0.0) | (c1 * c1 < t2 + rc4)
-                        ok = (
-                            (tca >= 0.0) & lod_ok & (disc >= 0.0) & (k < cnt)
-                        )
+                        ok = (tca >= 0.0) & lod_ok & (disc >= 0.0)
                         ts = tca - jnp.sqrt(jnp.maximum(disc, 0.0))
                         a = stride * u
                         bt = acc[a]
@@ -980,6 +1029,87 @@ def trace_pairs_fused_soa(
         interpret=interpret,
     )(starts, lens, cam, pairs_pad)
     return out[:T], metrics[:T].reshape(T, 1, 4)
+
+
+@partial(jax.jit, static_argnames=("cfg", "interpret"))
+def trace_pairs_fused_subset(
+    cam: Array,  # [16] f32 camera pack (`camera_vector`)
+    pairs: Array,  # [5|6(+pad), cfg.pair_cap]
+    starts: Array,  # [T] int32 — FULL frame segment table
+    lens: Array,  # [T] int32
+    tile_ids: Array,  # [K] int32 frame tile ids to render
+    cfg: RenderConfig,
+    interpret: bool = False,
+):
+    """Fused raygen+trace+shade for an arbitrary SUBSET of the frame's
+    tiles (the TPU-native frameless mode: refresh whole 1024-ray tiles
+    the way the reference refreshes 8-ray packets). Grid position k
+    renders frame tile `tile_ids[k]` via an indirection read in the
+    kernel; starts/lens stay the full-frame tables. Returns
+    (out [K, C, 8, 128], metrics [K, 1, 4]) with the same rows as
+    `trace_pairs_fused_soa`."""
+    K = tile_ids.shape[0]
+    deep = cfg.max_depth >= 7
+    n_out = 9 if deep else 8
+    n_rows = 6 if deep else 5
+    group = 8
+    Kp = -(-K // group) * group
+    sg = jax.lax.stop_gradient
+    cam, pairs = sg((cam, pairs))
+    if Kp != K:
+        tile_ids = jnp.concatenate(
+            [tile_ids, jnp.zeros((Kp - K,), tile_ids.dtype)]
+        )
+    if n_rows < 8:
+        pairs = jnp.concatenate(
+            [pairs, jnp.zeros((8 - n_rows, pairs.shape[1]), pairs.dtype)],
+            axis=0,
+        )
+    pad = jnp.zeros((8, SEG_WIN + _LANES), pairs.dtype)
+    pad = pad.at[3, :].set(-_BIG)
+    pairs_pad = jnp.concatenate([pairs, pad], axis=1)
+
+    buf_w = SEG_WIN + _LANES + _UNROLL
+    kernel = make_pairs_kernel(
+        SEG_WIN, Kp, deep=deep, group=group,
+        fused=(cfg.tile_w, cfg.tile_h, cfg.tiles_x),
+        lod_sq=float(np.float32(cfg.lod_factor**2)),
+        indirect=True,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(Kp // group,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (group, n_out, 8, _LANES),
+                lambda i, s, l, c, t: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (group, 4), lambda i, s, l, c, t: (i, 0),
+                memory_space=pltpu.SMEM,
+            ),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((2, 8, buf_w), jnp.float32),
+            pltpu.SMEM((8, buf_w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out, metrics = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((Kp, n_out, 8, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((Kp, 4), jnp.int32),
+        ),
+        interpret=interpret,
+    )(starts, lens, cam, tile_ids, pairs_pad)
+    return out[:K], metrics[:K].reshape(K, 1, 4)
 
 
 def binned_pairs(

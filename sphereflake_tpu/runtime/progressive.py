@@ -6,13 +6,23 @@ result into the shared G-buffer with no frame barrier
 (`Sphereflake.cpp:86-214`, `README.md:10`). The display thread snapshots
 whatever is in the buffer at vsync.
 
-TPU-native equivalent: a pure step function over an explicit
-``ProgressiveState``. Each step traces a batch of `batch_size`
-Sobol-chosen pixels (a whole "packet wave") and scatters position /
-normal / t into the persistent G-buffer arrays. The display analogue is
-simply reading the state's arrays between steps — double-buffering falls
-out of JAX's async dispatch (the next step's computation overlaps the
-host consuming the previous snapshot).
+Two TPU-native equivalents, both pure step functions:
+
+- **Tile-granular** (`progressive_tiles_step`, the production mode):
+  the refresh unit is a whole 1024-ray tile — the TPU's packet, as the
+  reference's is 8 AVX lanes. Sobol chooses TILES; each step traces
+  them through the same fused kernel as full frames and overwrites
+  their rows densely. Per-sample cost matches the full-frame path.
+- **Sample-granular** (`progressive_step`, reference semantics): Sobol
+  chooses PIXELS; batches are tile-sorted into 1024-ray bundles,
+  traced over conservative pair-segment spans, and scattered per
+  pixel. Random per-pixel scatters cost 3-8 ns/element on TPU, so
+  this mode runs ~25x more per-sample work — it exists for parity
+  with the reference's exact sampling law, not for throughput.
+
+The display analogue is simply reading the state's arrays between
+steps — double-buffering falls out of JAX's async dispatch (the next
+step's computation overlaps the host consuming the previous snapshot).
 
 Determinism: the reference scrambles every sample with a fresh
 `mt19937` draw seeded by `time(NULL)` (`Sphereflake.cpp:88-90,139-141`),
@@ -273,3 +283,124 @@ def progressive_step(
 def reset_closest_distance(state: ProgressiveState) -> ProgressiveState:
     """`Sphereflake::ResetClosestSphereDistance` (`Sphereflake.h:55-58`)."""
     return dataclasses.replace(state, closest_distance=jnp.float32(_BIG))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TileProgressiveState:
+    """Frameless accumulation at TILE granularity — the TPU-native
+    refresh unit. The reference's workers refresh 8-pixel AVX packets
+    chosen by a Sobol stream (`Sphereflake.cpp:139-150`); the TPU's
+    packet is a 1024-ray tile, so the frameless unit becomes a tile:
+    each step traces a Sobol-chosen batch of whole tiles through the
+    SAME fused production kernel as full frames (raygen + trace +
+    shade in one dispatch) and overwrites those tiles' rows in place.
+
+    Per-sample cost therefore matches the full-frame path (~ns/ray)
+    instead of the ~25x-worse per-PIXEL scatter path: random per-pixel
+    G-buffer updates cost 3-8 ns per scattered element on TPU, while
+    tile-granular updates are dense block writes (see docs/PERF.md)."""
+
+    rows: Array  # [T, 7, 8, 128] shaded kernel rows (min_t, pos3, nrm3)
+    covered: Array  # [T] bool — tile refreshed at least once
+    sample_lo: Array  # [] uint32 Sobol cursor
+    sample_hi: Array
+    seed: Array
+    closest_distance: Array
+    samples_traced: Array
+
+
+def progressive_tiles_init(
+    cfg: RenderConfig, seed: int = 0
+) -> TileProgressiveState:
+    T = cfg.tiles_y * cfg.tiles_x
+    rows = jnp.zeros((T, 7, 8, 128), jnp.float32)
+    rows = rows.at[:, 0].set(_BIG)  # min_t row: sky until traced
+    return TileProgressiveState(
+        rows=rows,
+        covered=jnp.zeros((T,), bool),
+        sample_lo=jnp.uint32(0),
+        sample_hi=jnp.uint32(0),
+        seed=jnp.uint32(seed),
+        closest_distance=jnp.float32(_BIG),
+        samples_traced=jnp.uint32(0),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "tiles_per_step"))
+def progressive_tiles_step(
+    state: TileProgressiveState,
+    scene: SceneParams,
+    cfg: RenderConfig,
+    tiles_per_step: int = 128,
+    prepared=None,
+) -> TileProgressiveState:
+    """Trace `tiles_per_step` Sobol-chosen tiles and refresh them.
+
+    `prepared`: cached `progressive_prepare` pair table (static
+    camera); without it the frame is re-binned each step."""
+    import jax as _jax
+
+    from sphereflake_tpu.ops.binned import (
+        binned_pairs,
+        camera_vector,
+        trace_pairs_fused_subset,
+    )
+
+    T = cfg.tiles_y * cfg.tiles_x
+    lane = jnp.arange(tiles_per_step, dtype=jnp.uint32)
+    idx_lo = state.sample_lo + lane
+    carry = (idx_lo < state.sample_lo).astype(jnp.uint32)
+    idx_hi = state.sample_hi + carry
+    scr = jnp.broadcast_to(_hash_u32(state.seed), lane.shape)
+    s = sobol_sample(idx_lo, 0, scr, idx_hi)
+    ids = jnp.minimum((s * T).astype(jnp.int32), T - 1)
+
+    if prepared is not None:
+        pairs, starts, lens, pair_ovf = prepared
+    else:
+        root = root_frame(scene.camera.position)
+        templates = child_templates(scene.fractal)
+        pairs, starts, lens, (_n, pair_ovf) = binned_pairs(
+            scene, cfg, root, templates
+        )
+    cam = camera_vector(scene, cfg)
+    interpret = _jax.default_backend() != "tpu"
+    out, m = trace_pairs_fused_subset(
+        cam, pairs, starts, lens, ids, cfg, interpret=interpret
+    )
+    deep = cfg.max_depth >= 7
+    base = 3 if deep else 2
+    rows_new = jnp.concatenate(
+        [out[:, :1], out[:, base : base + 6]], axis=1
+    )  # (min_t, pos3, nrm3)
+    # Duplicate tile ids within a batch write IDENTICAL rows (same
+    # camera), so the unordered scatter is deterministic by value.
+    rows = state.rows.at[ids].set(rows_new)
+    covered = state.covered.at[ids].set(True)
+    batch_closest = jnp.min(out[:, 0])
+    return TileProgressiveState(
+        rows=rows,
+        covered=covered,
+        sample_lo=idx_lo[-1] + jnp.uint32(1),
+        sample_hi=idx_hi[-1],
+        seed=state.seed,
+        closest_distance=jnp.minimum(
+            state.closest_distance, batch_closest
+        ),
+        samples_traced=state.samples_traced
+        + jnp.uint32(tiles_per_step * 1024),
+    )
+
+
+def tile_progressive_gbuffer(state: TileProgressiveState, cfg: RenderConfig):
+    """Snapshot the accumulated tile rows as (position, normal, min_t,
+    hit) images — the display read of the frameless loop."""
+    from sphereflake_tpu.render import _untile_rows
+
+    imgs = _untile_rows(state.rows, cfg)
+    min_t = imgs[0]
+    hit = min_t < _BIG
+    position = jnp.stack(imgs[1:4], axis=-1)
+    normal = jnp.stack(imgs[4:7], axis=-1)
+    return position, normal, min_t, hit

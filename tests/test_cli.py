@@ -194,3 +194,29 @@ def test_cli_mesh_flag(tmp_path):
                "--mesh", "2x2", "--output", str(out)])
     assert rc == 0
     assert out.stat().st_size > 0
+
+
+def test_progressive_tile_unit(tmp_path, capsys):
+    """The TPU-native frameless default: whole-tile refresh through
+    the fused kernel (--progressive-unit tile, binned only)."""
+    out = tmp_path / "pt.png"
+    ck = tmp_path / "pt.npz"
+    rc = main([
+        "--width", "96", "--height", "64", "--depth", "2",
+        "--algorithm", "binned", "--tile", "32x32", "--devices", "1",
+        "--progressive", "4", "--batch", "2048",
+        "--checkpoint", str(ck), "--output", str(out),
+    ])
+    assert rc == 0
+    txt = capsys.readouterr().out
+    line = [l for l in txt.splitlines() if l.startswith("progressive[tile]:")]
+    assert line, txt
+    assert out.stat().st_size > 0
+    # resume continues coverage
+    rc = main([
+        "--width", "96", "--height", "64", "--depth", "2",
+        "--algorithm", "binned", "--tile", "32x32", "--devices", "1",
+        "--progressive", "2", "--batch", "2048", "--resume", str(ck),
+        "--output", str(out),
+    ])
+    assert rc == 0

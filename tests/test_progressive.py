@@ -185,3 +185,47 @@ def test_prepared_pairs_match_unprepared():
     np.testing.assert_array_equal(np.asarray(s_a.min_t), np.asarray(s_b.min_t))
     np.testing.assert_array_equal(np.asarray(s_a.normal), np.asarray(s_b.normal))
     assert int(s_a.samples_traced) == int(s_b.samples_traced)
+
+
+def test_tile_progressive_matches_full_render():
+    """TPU-native frameless mode: whole 1024-ray TILES are the refresh
+    unit (the reference refreshes 8-ray packets; per-PIXEL scatter
+    costs ~25x more than dense tile writes on TPU — docs/PERF.md).
+    Covered tiles must match the full render (up to interpret-mode
+    tangent fuzz, cf. test_binned's banded note), uncovered tiles stay
+    sky, and coverage accumulates across steps."""
+    import numpy as np
+
+    from sphereflake_tpu.config import RenderConfig, default_scene
+    from sphereflake_tpu.render import render_gbuffer
+    from sphereflake_tpu.runtime.progressive import (
+        progressive_prepare,
+        progressive_tiles_init,
+        progressive_tiles_step,
+        tile_progressive_gbuffer,
+    )
+
+    scene = default_scene()
+    cfg = RenderConfig(width=256, height=128, max_depth=3, tile_h=32,
+                       tile_w=32, algorithm="binned")
+    T = cfg.tiles_y * cfg.tiles_x
+    prepared = progressive_prepare(scene, cfg)
+    st = progressive_tiles_init(cfg, seed=1)
+    st = progressive_tiles_step(st, scene, cfg, tiles_per_step=8,
+                                prepared=prepared)
+    assert 0 < int(np.asarray(st.covered).sum()) <= 8
+    for _ in range(9):
+        st = progressive_tiles_step(st, scene, cfg, tiles_per_step=8,
+                                    prepared=prepared)
+    cov = np.asarray(st.covered)
+    assert cov.sum() == T  # 80 Sobol draws cover all 32 tiles
+
+    pos, nrm, mt, hit = tile_progressive_gbuffer(st, cfg)
+    gb = render_gbuffer(scene, cfg)
+    mt_a, mt_b = np.asarray(mt), np.asarray(gb.min_t)
+    same = (mt_a == mt_b).mean()
+    assert same > 0.99, f"only {same:.4f} of pixels bit-match"
+    close = np.isclose(np.asarray(pos), np.asarray(gb.position),
+                       rtol=1e-4, atol=1e-4).mean()
+    assert close > 0.99
+    assert int(st.samples_traced) == 80 * 1024

@@ -61,29 +61,68 @@ def main(batch=65536):
 
         return run
 
+    def run(fn):
+        cam = dataclasses.replace(
+            scene0.camera, roll=scene0.camera.roll + 1e-6 * next(fresh)
+        )
+        sc = dataclasses.replace(scene0, camera=cam)
+        t0 = time.perf_counter()
+        float(fn(sc))
+        return time.perf_counter() - t0
+
     for use_prepared in (True, False):
         f2, f22 = make_scan(2, use_prepared), make_scan(22, use_prepared)
-
-        def run(fn):
-            cam = dataclasses.replace(
-                scene0.camera, roll=scene0.camera.roll + 1e-6 * next(fresh)
-            )
-            sc = dataclasses.replace(scene0, camera=cam)
-            t0 = time.perf_counter()
-            float(fn(sc))
-            return time.perf_counter() - t0
-
         tc0 = time.perf_counter()
         run(f2)
         run(f22)
         tc = time.perf_counter() - tc0
         best = min((run(f22) - run(f2)) / 20 for _ in range(3))
-        label = "prepared" if use_prepared else "re-binned"
+        label = "sample/" + ("prep" if use_prepared else "rebin")
         print(
-            f"{label:10s}: {best * 1e3:7.2f} ms/step = "
+            f"{label:12s}: {best * 1e3:7.2f} ms/step = "
             f"{batch / best / 1e6:7.1f}M samples/s (compile {tc:.0f}s)",
             flush=True,
         )
+
+    # Tile-granular frameless mode (the TPU-native refresh unit).
+    from sphereflake_tpu.runtime.progressive import (
+        progressive_tiles_init,
+        progressive_tiles_step,
+    )
+
+    tiles_per_step = max(1, batch // 1024)
+
+    def make_tile_scan(n):
+        @jax.jit
+        def run_t(scene):
+            state = progressive_tiles_init(cfg, seed=0)
+            prepared = progressive_prepare(scene, cfg)
+
+            def body(st, _):
+                st = progressive_tiles_step(
+                    st, scene, cfg, tiles_per_step=tiles_per_step,
+                    prepared=prepared,
+                )
+                return st, None
+
+            state, _ = jax.lax.scan(body, state, None, length=n)
+            return state.rows[5, 0, 0, 0] + state.closest_distance
+
+        return run_t
+
+    f2, f22 = make_tile_scan(2), make_tile_scan(22)
+    tc0 = time.perf_counter()
+    run(f2)
+    run(f22)
+    tc = time.perf_counter() - tc0
+    best = min((run(f22) - run(f2)) / 20 for _ in range(3))
+    rays = tiles_per_step * 1024
+    print(
+        f"{'tile/prep':12s}: {best * 1e3:7.2f} ms/step = "
+        f"{rays / best / 1e6:7.1f}M samples/s "
+        f"({tiles_per_step} tiles/step; compile {tc:.0f}s)",
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

@@ -121,6 +121,33 @@ def main() -> int:
           (np.asarray(sa.min_t) == np.asarray(sb.min_t)).all()
           and int(sa.samples_traced) == int(sb.samples_traced))
 
+    # 4b. tile-progressive: covered tiles must equal the full render
+    # (same Mosaic kernel, indirect tile map) — compiled.
+    from sphereflake_tpu.runtime.progressive import (
+        progressive_tiles_init,
+        progressive_tiles_step,
+        tile_progressive_gbuffer,
+    )
+
+    prepared_t = progressive_prepare(scene, pcfg)
+    stt = progressive_tiles_init(pcfg, seed=1)
+    for _ in range(6):
+        stt = progressive_tiles_step(stt, scene, pcfg, tiles_per_step=4,
+                                     prepared=prepared_t)
+    _pos, _nrm, mt_t, _hit = tile_progressive_gbuffer(stt, pcfg)
+    gbt = render_gbuffer(scene, pcfg)
+    cov = np.asarray(stt.covered)
+    ty_n, tx_n = pcfg.tiles_y, pcfg.tiles_x
+    mask = np.zeros((pcfg.padded_height, pcfg.padded_width), bool)
+    for t in np.where(cov)[0]:
+        yy, xx = divmod(int(t), tx_n)
+        mask[yy * 32 : (yy + 1) * 32, xx * 32 : (xx + 1) * 32] = True
+    mask = mask[: pcfg.height, : pcfg.width]
+    eq = (np.asarray(mt_t)[mask] == np.asarray(gbt.min_t)[mask]).mean()
+    check("tile-progressive == full render on covered tiles",
+          cov.sum() > 0 and eq > 0.999,
+          f"covered={int(cov.sum())}/{ty_n * tx_n} eq={eq:.4f}")
+
     # 5. depth-7 two-lane boundary vs the XLA fast path — compiled.
     kw7 = dict(width=64, height=32, max_depth=7, tile_h=32, tile_w=32,
                global_cap=1 << 15)
