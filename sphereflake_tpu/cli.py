@@ -259,6 +259,7 @@ def main(argv=None) -> int:
                 scene, cfg, args.animate, mode=args.animate_mode,
                 speed_factor=args.speed_factor,
                 composite=args.mode == "composite",
+                mesh=mesh,
             )
         ):
             write_png(f"{stem}_{i:04d}{ext}", image)

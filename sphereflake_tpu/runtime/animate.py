@@ -57,9 +57,24 @@ def animate(
     mode: str = "orbit",
     speed_factor: float = 0.05,
     composite: bool = True,
+    mesh=None,
 ) -> Iterator[tuple[np.ndarray, SceneParams]]:
-    """Yield (image [H, W, 3] float, scene-at-frame) per frame."""
-    from sphereflake_tpu.render import render_frame, render_gbuffer
+    """Yield (image [H, W, 3] float, scene-at-frame) per frame.
+    `mesh` shards every frame over a device mesh (the CLI passes its
+    auto-built one)."""
+    if mesh is not None:
+        from sphereflake_tpu.parallel import (
+            render_frame_sharded,
+            render_gbuffer_sharded,
+        )
+
+        def render_frame(s, c):
+            return render_frame_sharded(s, c, mesh)
+
+        def render_gbuffer(s, c):
+            return render_gbuffer_sharded(s, c, mesh)
+    else:
+        from sphereflake_tpu.render import render_frame, render_gbuffer
 
     cam0 = scene.camera
     radius = float(jnp.linalg.norm(cam0.position))
