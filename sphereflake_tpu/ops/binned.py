@@ -102,12 +102,6 @@ def _running_max_rows(x: Array) -> Array:
     return tuple(out[i, :n] for i in range(k))
 
 
-def _running_max_1d(x: Array) -> Array:
-    """Inclusive running max over a 1D int32 array (see
-    `_running_max_rows`)."""
-    return _running_max_rows(x[None, :])[0]
-
-
 _POW7 = 9**7  # path-code hi/lo split: lo < 9^7 stays f32-exact
 # Depth bound of the two-lane f32 path code: a level-d code (with its
 # sentinel) lies in [9^d, 9^(d+1)), so at d = 13 hi = code // 9^7 stays
@@ -735,8 +729,13 @@ def make_pairs_kernel(win: int, n_tiles: int, deep: bool = False,
                         t2 = tca * tca
                         disc = t2 + rc  # r^2 - d^2
                         c1 = tca - lodr
-                        # `SIMD_AVX.h:236-270` + the sqrt-free LOD gate.
-                        lod_ok = (c1 < 0.0) | (c1 * c1 < t2 + rc4)
+                        # `SIMD_AVX.h:236-270` + the sqrt-free LOD
+                        # gate. max(c1,0)^2 < t2+rc4 is equivalent to
+                        # (c1<0) | (c1^2 < t2+rc4) UNDER disc >= 0
+                        # (disc >= 0 forces t2+rc4 >= 3r^2 > 0), one
+                        # vector op cheaper.
+                        c1p = jnp.maximum(c1, 0.0)
+                        lod_ok = c1p * c1p < t2 + rc4
                         ok = (tca >= 0.0) & lod_ok & (disc >= 0.0)
                         ts = tca - jnp.sqrt(jnp.maximum(disc, 0.0))
                         a = stride * u
