@@ -209,3 +209,25 @@ def test_banded_blocks_compose_with_sharding():
     mt_s, mt_1 = np.asarray(gb_s.min_t), np.asarray(gb_1.min_t)
     agree = np.isclose(mt_s, mt_1, rtol=1e-4, atol=1e-4)
     assert agree.mean() > 0.995
+
+
+def test_render_frame_sharded_downscaled_ssao():
+    """SSAO downscale under the mesh: 256x128/ds=2 tiles evenly (the
+    SHARDED downscaled-AO path), 160x128/ds=4 does not (the replicated
+    fallback). Both must match single-device."""
+    import numpy as np
+
+    from sphereflake_tpu.config import RenderConfig, default_scene
+    from sphereflake_tpu.parallel import make_mesh, render_frame_sharded
+    from sphereflake_tpu.render import render_frame
+
+    scene = default_scene()
+    mesh = make_mesh(jax.devices()[:8])  # 2x4
+    for w, h, ds in ((256, 128, 2), (160, 128, 4)):
+        cfg = RenderConfig(width=w, height=h, max_depth=2, tile_h=32,
+                           tile_w=32, algorithm="binned", ssao_downscale=ds)
+        img_s, _ = render_frame_sharded(scene, cfg, mesh)
+        img_1, _ = render_frame(scene, cfg)
+        close = np.isclose(np.asarray(img_s), np.asarray(img_1),
+                           rtol=1e-4, atol=1e-4).all(axis=-1)
+        assert close.mean() > 0.999, (w, h, ds, close.mean())
