@@ -1,5 +1,5 @@
 """Binned traversal: frame-global expansion + screen-tile binning (XLA)
-feeding a lean per-tile Pallas ray kernel.
+feeding ONE fully-fused Pallas kernel (raygen + ray tests + shading).
 
 The per-tile kernel (`pallas_traversal.py`) re-expands the fractal for
 every tile, so the tree walk near the root is repeated ~2000x per
@@ -14,17 +14,25 @@ frame. This path walks the tree ONCE per frame:
 2. **Binning** (`bin_nodes`): every live node's bounding sphere (radius
    2r, the reference's bounding test radius) is projected to a
    conservative screen-space tile range by exact interval arithmetic in
-   the corner-ray basis (`Sphereflake.cpp:162-167` inverted); (node,
-   tile) pairs are laid out by a single sort, giving each tile a dense
-   queue segment. The binning is a conservative superset of the
-   per-tile frustum cull, so results match the per-tile kernel.
-3. **Ray kernel** (`trace_pairs_pallas`): grid over tiles; per-tile
-   segment (start, len) arrives via scalar prefetch; the kernel DMAs
-   its pair window HBM->SMEM and runs the same scalar-driven
-   node loop as the per-tile kernel — exactly `len` iterations, one
-   [8, 128] vreg of rays.
+   the corner-ray basis (`Sphereflake.cpp:162-167` inverted);
+   behind-camera nodes are dropped by a corner-ray dot cull; (node,
+   tile) pairs are laid out by a packed-key sort into dense per-tile
+   segments of a minimal 5|6-row payload. The binning is a conservative
+   superset of the per-tile frustum cull, so results match the per-tile
+   kernel.
+3. **Fused kernel** (`trace_pairs_fused_soa` / `..._subset`): grid over
+   tiles (or an arbitrary tile subset via an indirection table — the
+   frameless mode); per-tile segment (start, len) arrives via scalar
+   prefetch; the kernel derives its ray directions from 16 camera
+   scalars, DMAs its pair window HBM->SMEM, runs a scalar-driven node
+   loop (8 independent ILP chains, per-node constants re-derived on the
+   scalar unit), and shades the winner to (min_t, position, normal) in
+   the epilogue. A frame's forward pass is expansion + binning + one
+   Pallas dispatch + per-plane untiles.
 
-Select with ``RenderConfig(algorithm="binned")``.
+(`trace_pairs_pallas`/`_soa` remain as the dirs-input variant for
+progressive per-pixel bundles.) Select with
+``RenderConfig(algorithm="binned")``.
 """
 
 from __future__ import annotations
@@ -577,8 +585,9 @@ def make_pairs_kernel(win: int, n_tiles: int, deep: bool = False,
       `_UNROLL` nodes against the ray vreg into separate (t, code)
       accumulators, merged after the loop — the serial min-select
       dependence of the round-2 kernel left the VPU idle between
-      nodes. Per-node math is 2 FMAs + compares thanks to the
-      precomputed rc/rc4 rows (`bin_nodes`).
+      nodes. Per-node constants (cc, rc, rc4, lodr) are re-derived
+      from the minimal 5-row payload on the scalar unit (see the
+      gather-cost note in `bin_nodes`).
     - **`group` tiles per grid step** amortize the per-step prologue:
       at ~59 candidates/tile the node loop runs ~0.3 us while the
       per-step overhead was ~2.6 us — one step per tile left the VPU
