@@ -78,11 +78,12 @@ def lean_16k(cfg):
     return run
 
 
-def main(sizes):
+def main(sizes, depth=6):
     dev = jax.devices()[0]
-    print(f"device: {dev.platform} {dev.device_kind}", file=sys.stderr)
+    print(f"device: {dev.platform} {dev.device_kind} depth={depth}",
+          file=sys.stderr)
     for size in sizes:
-        cfg = RenderConfig(width=size, height=size, max_depth=6,
+        cfg = RenderConfig(width=size, height=size, max_depth=depth,
                            tile_h=32, tile_w=32, algorithm="binned")
         bands = (cfg.tiles_y // cfg.effective_band_rows
                  if cfg.effective_band_rows else 1)
@@ -116,5 +117,10 @@ def main(sizes):
 
 
 if __name__ == "__main__":
-    sizes = [int(a) for a in sys.argv[1:]] or [4096, 8192, 16384]
-    main(sizes)
+    args = sys.argv[1:]
+    depth = 6
+    if args and args[0].startswith("d"):
+        depth = int(args[0][1:])
+        args = args[1:]
+    sizes = [int(a) for a in args] or [4096, 8192, 16384]
+    main(sizes, depth)
