@@ -105,6 +105,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--speed-factor", type=float, default=0.05,
                    help="approach step as a fraction of the closest-sphere "
                    "distance (the reference's speed law, main.cpp:213)")
+    p.add_argument("--frame-parallel", action="store_true",
+                   help="animate (orbit) with FRAME data parallelism: "
+                   "each device renders a different full frame per "
+                   "dispatch — the efficient fleet shape for small "
+                   "frames (tile-sharding one small frame is "
+                   "fixed-cost-limited)")
     return p
 
 
@@ -249,19 +255,28 @@ def main(argv=None) -> int:
     if args.animate:
         import os
 
-        from sphereflake_tpu.runtime.animate import animate
+        from sphereflake_tpu.runtime.animate import animate, animate_frames_dp
 
-        stem, ext = os.path.splitext(args.output)
-        ext = ext or ".png"
-        t0 = time.perf_counter()
-        for i, (image, _) in enumerate(
-            animate(
+        if args.frame_parallel:
+            if args.animate_mode != "orbit":
+                print("error: --frame-parallel needs --animate-mode "
+                      "orbit (approach is sequentially dependent via "
+                      "the speed law)", file=sys.stderr)
+                return 2
+            frames_iter = animate_frames_dp(
+                scene, cfg, args.animate, jax.devices()
+            )
+        else:
+            frames_iter = animate(
                 scene, cfg, args.animate, mode=args.animate_mode,
                 speed_factor=args.speed_factor,
                 composite=args.mode == "composite",
                 mesh=mesh,
             )
-        ):
+        stem, ext = os.path.splitext(args.output)
+        ext = ext or ".png"
+        t0 = time.perf_counter()
+        for i, (image, _) in enumerate(frames_iter):
             write_png(f"{stem}_{i:04d}{ext}", image)
         dt = time.perf_counter() - t0
         print(

@@ -345,3 +345,57 @@ def fit_step_sharded(
         return loss, grads
 
     return run(scene, target_position, target_normal)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def render_frames_dp(scenes, cfg: RenderConfig, mesh: Mesh):
+    """FRAME-data-parallel rendering: each device renders a DIFFERENT
+    whole frame (scene pytree with a leading device axis) through the
+    complete single-device pipeline (trace + SSAO + blur + composite).
+
+    This is the TPU-native answer to small-frame fleets: screen-tile
+    sharding of a 1080p frame is fixed-cost-limited (~50% efficiency
+    at N=2, docs/PERF.md) because every block re-pays the binning
+    constant, but N DIFFERENT frames — an animation, a fitting batch,
+    a dataset render — scale embarrassingly. The reference's threads
+    all cooperate on one frame because a CPU core is 1/16th of a
+    frame's work; a TPU chip is a whole frame's worth.
+
+    `mesh` must be 1D with axis name "dp" (`make_frame_mesh`);
+    `scenes` leaves carry a leading axis equal to the device count.
+    Returns (images [N, H, W, 3], overflow [N] int32) — callers must
+    check overflow like any other render (dropped geometry retries
+    via the capacity ladder)."""
+    from sphereflake_tpu.ops.noise import ssao_noise_texture
+    from sphereflake_tpu.ops.post import postprocess
+    from sphereflake_tpu.render import _render_gbuffer_binned, render_gbuffer
+
+    noise = jnp.asarray(ssao_noise_texture(cfg.noise_size))
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("dp"), P()),
+        out_specs=(P("dp"), P("dp")),
+        check_vma=False,
+    )
+    def run(scene_block, noise):
+        scene = jax.tree.map(lambda x: x[0], scene_block)
+        if cfg.algorithm == "binned":
+            gb = _render_gbuffer_binned(scene, cfg)
+        else:
+            gb = render_gbuffer(scene, cfg)
+        image = postprocess(
+            gb.position, gb.normal, gb.metrics.closest_distance,
+            scene, cfg, noise,
+        )
+        return image[None], gb.metrics.overflow[None]
+
+    return run(scenes, noise)
+
+
+def make_frame_mesh(devices):
+    """1D "dp" mesh for `render_frames_dp`."""
+    import numpy as _np
+
+    return Mesh(_np.asarray(devices), ("dp",))

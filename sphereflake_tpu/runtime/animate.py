@@ -50,6 +50,63 @@ def camera_forward(cam):
     return rot @ jnp.asarray([0.0, 0.0, -1.0], jnp.float32)
 
 
+def _orbit_scene(scene, cam0, radius, i, n_frames):
+    angle = 2.0 * np.pi * i / max(n_frames, 1)
+    base = cam0.position
+    c, s = np.cos(angle), np.sin(angle)
+    pos = jnp.asarray(
+        [
+            c * base[0] + s * base[2],
+            base[1],
+            -s * base[0] + c * base[2],
+        ],
+        jnp.float32,
+    )
+    pos = pos * (radius / jnp.linalg.norm(pos))
+    yaw, pitch = _look_at_origin(pos)
+    cam = dataclasses.replace(cam0, position=pos, yaw=yaw, pitch=pitch)
+    return dataclasses.replace(scene, camera=cam)
+
+
+def animate_frames_dp(
+    scene: SceneParams,
+    cfg: RenderConfig,
+    n_frames: int,
+    devices,
+) -> Iterator[tuple[np.ndarray, SceneParams]]:
+    """Orbit animation with FRAME data parallelism: each device
+    renders a DIFFERENT full frame per dispatch
+    (`parallel.render_frames_dp`) — the efficient fleet shape for
+    small frames, where screen-tile sharding is fixed-cost-limited
+    (docs/PERF.md). Overflowing batches retry on a grown config
+    (capacity ladder), like the sequential path."""
+    import jax
+
+    from sphereflake_tpu.parallel import make_frame_mesh, render_frames_dp
+    from sphereflake_tpu.render import grow_capacity
+
+    mesh = make_frame_mesh(devices)
+    n_dev = len(devices)
+    cam0 = scene.camera
+    radius = float(jnp.linalg.norm(cam0.position))
+    for b0 in range(0, n_frames, n_dev):
+        idx = [min(b0 + k, n_frames - 1) for k in range(n_dev)]
+        scenes = [
+            _orbit_scene(scene, cam0, radius, i, n_frames) for i in idx
+        ]
+        batched = jax.tree.map(lambda *xs: jnp.stack(xs), *scenes)
+        while True:
+            images, ovf = render_frames_dp(batched, cfg, mesh)
+            if not int(np.asarray(ovf).sum()):
+                break
+            cfg = grow_capacity(cfg)
+        images = np.asarray(images)
+        for k in range(n_dev):
+            if b0 + k >= n_frames:
+                break
+            yield images[k], scenes[k]
+
+
 def animate(
     scene: SceneParams,
     cfg: RenderConfig,
@@ -80,24 +137,8 @@ def animate(
     radius = float(jnp.linalg.norm(cam0.position))
     for i in range(n_frames):
         if mode == "orbit":
-            angle = 2.0 * np.pi * i / max(n_frames, 1)
-            base = cam0.position
             # Rotate the start position about the world Y axis.
-            c, s = np.cos(angle), np.sin(angle)
-            pos = jnp.asarray(
-                [
-                    c * base[0] + s * base[2],
-                    base[1],
-                    -s * base[0] + c * base[2],
-                ],
-                jnp.float32,
-            )
-            pos = pos * (radius / jnp.linalg.norm(pos))
-            yaw, pitch = _look_at_origin(pos)
-            cam = dataclasses.replace(
-                cam0, position=pos, yaw=yaw, pitch=pitch
-            )
-            scene = dataclasses.replace(scene, camera=cam)
+            scene = _orbit_scene(scene, cam0, radius, i, n_frames)
         elif mode != "approach":
             raise ValueError(f"unknown animation mode {mode!r}")
 

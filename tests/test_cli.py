@@ -220,3 +220,17 @@ def test_progressive_tile_unit(tmp_path, capsys):
         "--output", str(out),
     ])
     assert rc == 0
+
+
+def test_animate_frame_parallel(tmp_path):
+    """--frame-parallel orbit: each virtual device renders a different
+    frame per dispatch; frames must exist and differ."""
+    out = tmp_path / "fp.png"
+    rc = main(["--width", "96", "--height", "64", "--depth", "2",
+               "--algorithm", "binned", "--tile", "32x32",
+               "--animate", "3", "--frame-parallel",
+               "--output", str(out)])
+    assert rc == 0
+    frames = sorted(tmp_path.glob("fp_*.png"))
+    assert len(frames) == 3
+    assert frames[0].read_bytes() != frames[1].read_bytes()

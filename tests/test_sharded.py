@@ -231,3 +231,45 @@ def test_render_frame_sharded_downscaled_ssao():
         close = np.isclose(np.asarray(img_s), np.asarray(img_1),
                            rtol=1e-4, atol=1e-4).all(axis=-1)
         assert close.mean() > 0.999, (w, h, ds, close.mean())
+
+
+def test_render_frames_dp_matches_sequential():
+    """Frame-data-parallel rendering: N devices render N DIFFERENT
+    frames through the full pipeline — the TPU-native answer to
+    small-frame fleets (screen-tile sharding of one small frame is
+    fixed-cost-limited). Batched output must match sequential
+    single-device renders."""
+    import dataclasses
+
+    import numpy as np
+
+    from sphereflake_tpu.config import RenderConfig, default_scene
+    from sphereflake_tpu.parallel import make_frame_mesh, render_frames_dp
+    from sphereflake_tpu.render import render_frame
+
+    scene = default_scene()
+    cfg = RenderConfig(width=128, height=64, max_depth=2, tile_h=32,
+                       tile_w=32, algorithm="binned")
+    devs = jax.devices()[:8]
+    mesh = make_frame_mesh(devs)
+    scenes = [
+        dataclasses.replace(
+            scene,
+            camera=dataclasses.replace(
+                scene.camera, yaw=scene.camera.yaw + 0.02 * i
+            ),
+        )
+        for i in range(len(devs))
+    ]
+    batched = jax.tree.map(lambda *xs: jnp.stack(xs), *scenes)
+    imgs, ovf = render_frames_dp(batched, cfg, mesh)
+    imgs = np.asarray(imgs)
+    assert imgs.shape == (8, 64, 128, 3)
+    assert int(np.asarray(ovf).sum()) == 0
+    for i in (0, 3, 7):
+        ref, _ = render_frame(scenes[i], cfg)
+        close = np.isclose(imgs[i], np.asarray(ref), rtol=1e-4,
+                           atol=1e-4).all(axis=-1)
+        assert close.mean() > 0.999, (i, close.mean())
+    # Frames genuinely differ (different cameras).
+    assert np.abs(imgs[0] - imgs[7]).max() > 0.01
