@@ -581,7 +581,7 @@ def make_pairs_kernel(win: int, n_tiles: int, deep: bool = False,
       tile k's node loop runs (scratch persists across TPU grid
       steps); only the rare windows >= 1 (segments longer than `win`)
       pay their DMA latency inline.
-    - **ILP via 4 independent node chains.** Each loop iteration tests
+    - **ILP via independent node chains.** Each loop iteration tests
       `_UNROLL` nodes against the ray vreg into separate (t, code)
       accumulators, merged after the loop — the serial min-select
       dependence of the round-2 kernel left the VPU idle between
