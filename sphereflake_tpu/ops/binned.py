@@ -148,8 +148,8 @@ def expand_global(
     ns/index), so feeding it ~73k node slots instead of the dense 597k
     is most of its speed; (b) the reference's UNBOUNDED LOD-terminated
     recursion depth (`Sphereflake.h:146-153`) becomes reachable — an
-    approach dive to level 14 expands only the live frontier, never
-    the 9^14 dense tree.
+    approach dive to level 13 expands only the live frontier, never
+    the 9^13 dense tree.
 
     Path codes ride two lanes (code = hi * 9^7 + lo) so depths past 7
     stay exact in f32 kernel rows (`DEEP_MAX_DEPTH` = 13).
