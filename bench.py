@@ -232,10 +232,29 @@ def main() -> int:
         file=sys.stderr,
     )
 
+    def spread(trials_s, work_rays):
+        """Per-trial rays/s spread: the tunnel drifts ±35% across
+        sessions (docs/PERF.md), so the artifact carries the variance
+        it saw rather than a bare min."""
+        rs = sorted(work_rays / t for t in trials_s)
+        return {
+            "min": rs[0],
+            "median": rs[len(rs) // 2],
+            "max": rs[-1],
+        }
+
     print(
         json.dumps(
             {
-                "metric": "primary_rays_per_second_1080p_depth6_1chip",
+                # Named for its semantics (round-4 advisor): sustained
+                # frameless refresh of a STATIC view — the reference's
+                # own title-bar rays/s counter (`Sphereflake.cpp:184`,
+                # reset each second while workers re-trace a fixed
+                # view, `main.cpp:285-287`). NOT comparable to the
+                # round-1..3 full-frame 'primary_rays_per_second_*'
+                # metric, which rides below as
+                # full_frame_rays_per_second.
+                "metric": "sustained_frameless_rays_per_second_1080p_depth6_1chip",
                 "value": rays_per_s,
                 "unit": "rays/s",
                 "vs_baseline": rays_per_s / 2.0e9,
@@ -244,6 +263,12 @@ def main() -> int:
                 "Sphereflake.cpp:184; gated on full-coverage parity "
                 "with the full renderer)",
                 "full_frame_rays_per_second": frame_rays_per_s,
+                "sustained_trials_rays_per_second": spread(
+                    rts, tiles_per_step * 1024
+                ),
+                "full_frame_trials_rays_per_second": spread(
+                    dts, cfg.width * cfg.height
+                ),
             }
         )
     )

@@ -69,6 +69,14 @@ def build_parser() -> argparse.ArgumentParser:
                    "'sample' scatters individual Sobol pixels like the "
                    "reference's packets (reference semantics, ~25x the "
                    "per-sample cost on TPU)")
+    p.add_argument("--snapshot-every", type=int, default=0, metavar="K",
+                   help="frameless mode: write a snapshot of the "
+                   "in-flight buffer every K steps (with --mode "
+                   "composite the full SSAO->blur->composite chain "
+                   "runs over it, like the reference's display loop "
+                   "every vsync, main.cpp:301-335); snapshots are "
+                   "dispatched async and fetched while later steps "
+                   "run, so accumulation never stalls on them")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--frames", type=int, default=1, help="frames to render (timing)")
     p.add_argument("--platform", choices=("auto", "cpu"), default="auto")
@@ -105,6 +113,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--speed-factor", type=float, default=0.05,
                    help="approach step as a fraction of the closest-sphere "
                    "distance (the reference's speed law, main.cpp:213)")
+    p.add_argument("--frameless", action="store_true",
+                   help="animate with FRAMELESS accumulation: the "
+                   "camera moves while tiles keep refreshing into one "
+                   "persistent buffer (stale tiles from the previous "
+                   "view get overwritten — the reference's SetView "
+                   "mid-flight, main.cpp:304); --batch sets tiles "
+                   "refreshed per camera step")
     p.add_argument("--frame-parallel", action="store_true",
                    help="animate (orbit) with FRAME data parallelism: "
                    "each device renders a different full frame per "
@@ -198,7 +213,20 @@ def main(argv=None) -> int:
     mesh = None
     n_avail = len(jax.devices())
     if args.mesh is not None:
-        my, mx = (int(v) for v in args.mesh.lower().split("x"))
+        try:
+            my, mx = (int(v) for v in args.mesh.lower().split("x"))
+        except ValueError:
+            print(
+                f"error: --mesh {args.mesh!r} is not of the form RxC "
+                "(e.g. 2x4)", file=sys.stderr,
+            )
+            return 2
+        if my < 1 or mx < 1:
+            print(
+                f"error: --mesh {args.mesh} must have positive dims",
+                file=sys.stderr,
+            )
+            return 2
         if my * mx > n_avail:
             print(
                 f"error: --mesh {args.mesh} needs {my * mx} devices, "
@@ -255,8 +283,52 @@ def main(argv=None) -> int:
     if args.animate:
         import os
 
-        from sphereflake_tpu.runtime.animate import animate, animate_frames_dp
+        from sphereflake_tpu.runtime.animate import (
+            animate,
+            animate_frames_dp,
+            frameless_animate,
+        )
 
+        if args.frameless:
+            if cfg.algorithm != "binned":
+                print("error: --frameless needs the binned path "
+                      "(TPU, or --algorithm binned)", file=sys.stderr)
+                return 2
+            steps_per_frame = 8
+            tiles_per_step = max(1, args.batch // 1024 // steps_per_frame)
+            stem, ext = os.path.splitext(args.output)
+            ext = ext or ".png"
+            t0 = time.perf_counter()
+            n_rays = 0
+            frames_it = frameless_animate(
+                scene, cfg, args.animate,
+                steps_per_frame=steps_per_frame,
+                tiles_per_step=tiles_per_step,
+                mode=args.animate_mode,
+                speed_factor=args.speed_factor,
+                seed=args.seed,
+                composite=args.mode == "composite",
+            )
+            for i, (image, _sc, stats) in enumerate(frames_it):
+                write_png(f"{stem}_{i:04d}{ext}", image)
+                if i == 0:
+                    t0 = time.perf_counter()  # after compile
+                else:
+                    n_rays += steps_per_frame * tiles_per_step * 1024
+                print(
+                    f"frameless frame {i}: closest "
+                    f"{stats['closest']:.4f}, buffer covered "
+                    f"{stats['covered'] * 100:.0f}%, refresh/frame "
+                    f"{stats['refresh_fraction'] * 100:.0f}%"
+                )
+            dt = time.perf_counter() - t0
+            if n_rays:
+                print(
+                    f"frameless animate: steady-state "
+                    f"{n_rays / max(dt, 1e-9) / 1e6:.1f}M rays/s "
+                    f"(re-binned per camera step, snapshots included)"
+                )
+            return 0
         if args.frame_parallel:
             if args.animate_mode != "orbit":
                 print("error: --frame-parallel needs --animate-mode "
@@ -342,39 +414,161 @@ def main(argv=None) -> int:
             args.progressive_unit == "tile" and cfg.algorithm == "binned"
         )
         # Static camera: bin the frame once, reuse across every step
-        # (re-run progressive_prepare on camera change).
-        prepared = (
-            progressive_prepare(scene, cfg)
-            if cfg.algorithm == "binned"
-            else None
-        )
+        # (re-run progressive_prepare on camera change). A pair-table
+        # overflow in the prepared table would silently drop geometry
+        # from EVERY step, so grow capacity before accumulating (the
+        # same ladder the full-frame path retries on).
+        from sphereflake_tpu.render import grow_capacity
+
+        prepared = None
+        if cfg.algorithm == "binned":
+            while True:
+                prepared = progressive_prepare(scene, cfg)
+                if not int(prepared[3]):
+                    break
+                if cfg.global_cap >= (9 << 16):
+                    # Banding (the ladder's next rung) cannot help the
+                    # frameless path: its pair table spans the frame.
+                    print(
+                        "error: frameless pair table overflows at the "
+                        "capacity ceiling; render this pose full-frame "
+                        "(banded) instead",
+                        file=sys.stderr,
+                    )
+                    return 1
+                import dataclasses as _dc
+
+                cfg = _dc.replace(cfg, global_cap=cfg.global_cap * 2)
+                print(
+                    f"pair-table overflow ({int(prepared[3])} pairs "
+                    f"dropped) in frameless prepare; retrying with "
+                    f"global_cap={cfg.global_cap}",
+                    file=sys.stderr,
+                )
         if use_tiles:
+            import os as _os
+
             from sphereflake_tpu.runtime.progressive import (
                 progressive_tiles_init,
                 progressive_tiles_step,
+                tile_progressive_composite,
                 tile_progressive_gbuffer,
             )
 
+            stem, ext = _os.path.splitext(args.output)
+            ext = ext or ".png"
+
+            def snapshot_image(st):
+                # The display read of the frameless loop: the full post
+                # chain over the in-flight buffer (composite mode,
+                # `main.cpp:301-335`) or the debug normal shading.
+                if args.mode == "composite":
+                    return tile_progressive_composite(st, scene, cfg)
+                _p, nrm, _mt, hit = tile_progressive_gbuffer(st, cfg)
+                return None, (nrm, hit)  # shaded host-side at fetch
+
+            def fetch_snapshot(path, img):
+                if isinstance(img, tuple) and img[0] is None:
+                    out = shade_normals(
+                        np.asarray(img[1][0]), np.asarray(img[1][1])
+                    )
+                else:
+                    out = np.asarray(img)
+                write_png(path, out)
+
             tiles_per_step = max(1, args.batch // 1024)
-            state = progressive_tiles_init(cfg, seed=args.seed)
+            # Multi-device: all devices refine ONE frameless buffer,
+            # each refreshing Sobol-chosen tiles of its own block —
+            # the reference's worker pool sharing one G-buffer
+            # (`Sphereflake.cpp:67-74`).
+            frameless_mesh = None
+            if mesh is not None:
+                from sphereflake_tpu.parallel.frameless import (
+                    _block_tiles,
+                    sharded_tiles_as_single,
+                    sharded_tiles_init,
+                    sharded_tiles_step,
+                )
+
+                try:
+                    _block_tiles(cfg, mesh)
+                    frameless_mesh = mesh
+                except ValueError as e:
+                    print(
+                        f"note: frameless runs single-device ({e})",
+                        file=sys.stderr,
+                    )
+            if frameless_mesh is not None:
+                n_dev = mesh.devices.size
+                tiles_per_device = max(1, tiles_per_step // n_dev)
+
+                def make_state():
+                    return sharded_tiles_init(
+                        cfg, frameless_mesh, seed=args.seed
+                    )
+
+                def step_state(st):
+                    return sharded_tiles_step(
+                        st, scene, cfg, frameless_mesh,
+                        tiles_per_device=tiles_per_device,
+                        prepared=prepared,
+                    )
+
+                as_plain = sharded_tiles_as_single
+                tiles_per_step = tiles_per_device * n_dev
+                ckpt_key = "progressive_tiles_sharded"
+            else:
+
+                def make_state():
+                    return progressive_tiles_init(cfg, seed=args.seed)
+
+                def step_state(st):
+                    return progressive_tiles_step(
+                        st, scene, cfg, tiles_per_step=tiles_per_step,
+                        prepared=prepared,
+                    )
+
+                as_plain = lambda st: st
+                ckpt_key = "progressive_tiles"
+            state = make_state()
             if args.resume:
                 state = load_checkpoint(
-                    args.resume, {"progressive_tiles": state}
-                )["progressive_tiles"]
+                    args.resume, {ckpt_key: state}
+                )[ckpt_key]
+            pending = []  # dispatched snapshots not yet fetched
             t0 = time.perf_counter()
             for step in range(args.progressive):
-                state = progressive_tiles_step(
-                    state, scene, cfg, tiles_per_step=tiles_per_step,
-                    prepared=prepared,
-                )
+                state = step_state(state)
                 if step == 0:
                     jax.block_until_ready(state.rows)  # compile barrier
                     t0 = time.perf_counter()
+                if args.snapshot_every and (
+                    (step + 1) % args.snapshot_every == 0
+                    and step + 1 < args.progressive
+                ):
+                    # Dispatch the snapshot now; fetch the PREVIOUS one
+                    # so its post chain overlapped the steps since —
+                    # the producer/consumer decoupling of the
+                    # reference's tracer/display threads.
+                    pending.append(
+                        (f"{stem}_s{step + 1:05d}{ext}",
+                         snapshot_image(as_plain(state)))
+                    )
+                    if len(pending) > 1:
+                        fetch_snapshot(*pending.pop(0))
             jax.block_until_ready(state.rows)
             dt = time.perf_counter() - t0
+            for item in pending:
+                fetch_snapshot(*item)
+            if args.snapshot_every:
+                n_snaps = (args.progressive - 1) // args.snapshot_every
+                print(
+                    f"wrote {n_snaps} in-flight snapshots "
+                    f"({stem}_sNNNNN{ext})"
+                )
             rays = max(1, args.progressive - 1) * tiles_per_step * 1024
             position, normal, min_t, _hit = tile_progressive_gbuffer(
-                state, cfg
+                as_plain(state), cfg
             )
             print(
                 f"progressive[tile]: {int(state.samples_traced)} samples "
@@ -383,6 +577,13 @@ def main(argv=None) -> int:
                 f"rays/s, closest sphere: "
                 f"{float(state.closest_distance):.4f}"
             )
+            if int(state.overflow):
+                print(
+                    f"warning: {int(state.overflow)} pair/kernel drops "
+                    "accumulated across steps — the image is missing "
+                    "geometry (raise --global-cap)",
+                    file=sys.stderr,
+                )
         else:
             state = progressive_init(cfg, seed=args.seed)
             if args.resume:
@@ -410,12 +611,38 @@ def main(argv=None) -> int:
                 f"{rays / max(dt, 1e-9) / 1e6:.1f}M rays/s, "
                 f"closest sphere: {float(state.closest_distance):.4f}"
             )
-        img = shade_normals(normal)
+            if int(state.overflow):
+                print(
+                    f"warning: {int(state.overflow)} dropped nodes "
+                    "accumulated across steps — the image is missing "
+                    "geometry (raise --max-frontier / --global-cap)",
+                    file=sys.stderr,
+                )
+        if args.mode == "composite":
+            # The full reference display pipeline over the final
+            # accumulated buffer (`main.cpp:301-335`); at full coverage
+            # this equals `render_frame` of the same scene.
+            if use_tiles:
+                img = np.asarray(
+                    tile_progressive_composite(as_plain(state), scene, cfg)
+                )
+            else:
+                from sphereflake_tpu.ops.noise import ssao_noise_texture
+                from sphereflake_tpu.ops.post import postprocess
+
+                img = np.asarray(
+                    postprocess(
+                        position, normal, jnp.min(min_t), scene, cfg,
+                        jnp.asarray(ssao_noise_texture(cfg.noise_size)),
+                    )
+                )
+        else:
+            img = shade_normals(normal)
         write_png(args.output, img)
         if args.gbuffer:
             write_gbuffer_npz(args.gbuffer, position, normal, min_t)
         if args.checkpoint:
-            key = "progressive_tiles" if use_tiles else "progressive"
+            key = ckpt_key if use_tiles else "progressive"
             save_checkpoint(args.checkpoint, **{key: state})
             print(f"wrote {args.checkpoint}")
         print(f"wrote {args.output}")

@@ -1,3 +1,9 @@
+from sphereflake_tpu.parallel.frameless import (  # noqa: F401
+    ShardedTileState,
+    sharded_tiles_as_single,
+    sharded_tiles_init,
+    sharded_tiles_step,
+)
 from sphereflake_tpu.parallel.mesh import make_mesh  # noqa: F401
 from sphereflake_tpu.parallel.sharded import (  # noqa: F401
     fit_step_sharded,

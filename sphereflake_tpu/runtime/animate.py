@@ -107,6 +107,104 @@ def animate_frames_dp(
             yield images[k], scenes[k]
 
 
+def frameless_animate(
+    scene: SceneParams,
+    cfg: RenderConfig,
+    n_frames: int,
+    steps_per_frame: int = 8,
+    tiles_per_step: int = 256,
+    mode: str = "orbit",
+    speed_factor: float = 0.05,
+    seed: int = 0,
+    composite: bool = True,
+) -> Iterator[tuple[np.ndarray, SceneParams, dict]]:
+    """Fly the camera WHILE framelessly accumulating into ONE buffer —
+    the reference's defining interaction: `SetView` lands mid-flight
+    and the workers simply start overwriting stale texels with the new
+    view (`main.cpp:304`, `Sphereflake.cpp:76-84`); the display thread
+    composites whatever mixture is in the buffer every vsync.
+
+    Per camera step the pair table is re-prepared (the TPU analogue of
+    SetView: the workers' shared view vectors change, nothing else),
+    the SAME `TileProgressiveState` keeps accumulating — tiles not yet
+    refreshed under the new camera still show the previous view — and
+    a snapshot of the in-flight buffer is yielded after
+    `steps_per_frame` steps. Yields (image, scene-at-frame, stats)
+    where stats carries samples_traced / closest / refreshed-tile
+    fraction for the frame."""
+    import dataclasses as _dc
+
+    import jax
+
+    from sphereflake_tpu.runtime.progressive import (
+        progressive_prepare,
+        progressive_tiles_init,
+        progressive_tiles_step,
+        tile_progressive_composite,
+        tile_progressive_gbuffer,
+    )
+
+    assert cfg.algorithm == "binned", "frameless animate rides the binned path"
+    state = progressive_tiles_init(cfg, seed=seed)
+    cam0 = scene.camera
+    radius = float(jnp.linalg.norm(cam0.position))
+    for i in range(n_frames):
+        if mode == "orbit":
+            scene = _orbit_scene(scene, cam0, radius, i, n_frames)
+        elif mode != "approach":
+            raise ValueError(f"unknown animation mode {mode!r}")
+
+        # SetView: re-bin for the new camera; accumulation state is
+        # NOT reset (stale-tile overwrite is the point).
+        while True:
+            prepared = progressive_prepare(scene, cfg)
+            if not int(prepared[3]):
+                break
+            from sphereflake_tpu.render import grow_capacity
+
+            cfg = grow_capacity(cfg)
+        # Track the frame's own closest distance for the approach
+        # speed law (the reference resets this metric per report).
+        state = _dc.replace(
+            state, closest_distance=jnp.float32(np.float32(3.0e38))
+        )
+        for _ in range(steps_per_frame):
+            state = progressive_tiles_step(
+                state, scene, cfg, tiles_per_step=tiles_per_step,
+                prepared=prepared,
+            )
+        if composite:
+            image = np.asarray(
+                tile_progressive_composite(state, scene, cfg)
+            )
+        else:
+            from sphereflake_tpu.utils.image import shade_normals
+
+            _p, nrm, _mt, hit = tile_progressive_gbuffer(state, cfg)
+            image = shade_normals(np.asarray(nrm), np.asarray(hit))
+        closest = float(state.closest_distance)
+        stats = {
+            "samples_traced": int(state.samples_traced),
+            "closest": closest,
+            "covered": float(np.asarray(state.covered).mean()),
+            "refresh_fraction": min(
+                1.0,
+                steps_per_frame * tiles_per_step
+                / (cfg.tiles_y * cfg.tiles_x),
+            ),
+        }
+        yield image, scene, stats
+
+        if mode == "approach":
+            step = speed_factor * closest
+            fwd = camera_forward(scene.camera)
+            cam = dataclasses.replace(
+                scene.camera, position=scene.camera.position + step * fwd
+            )
+            scene = dataclasses.replace(scene, camera=cam)
+        jax.block_until_ready(state.rows)
+
+
 def animate(
     scene: SceneParams,
     cfg: RenderConfig,

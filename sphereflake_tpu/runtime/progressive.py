@@ -65,6 +65,7 @@ class ProgressiveState:
     seed: Array  # [] uint32 — scramble stream seed
     closest_distance: Array  # [] f32, resettable like the reference metric
     samples_traced: Array  # [] uint32
+    overflow: Array  # [] int32 — accumulated pair/frontier drops (never silent)
 
 
 def progressive_init(cfg: RenderConfig, seed: int = 0) -> ProgressiveState:
@@ -78,6 +79,7 @@ def progressive_init(cfg: RenderConfig, seed: int = 0) -> ProgressiveState:
         seed=jnp.uint32(seed),
         closest_distance=jnp.float32(_BIG),
         samples_traced=jnp.uint32(0),
+        overflow=jnp.int32(0),
     )
 
 
@@ -113,6 +115,78 @@ def progressive_prepare(scene: SceneParams, cfg: RenderConfig):
         scene, cfg, root, templates
     )
     return pairs, t_starts, t_lens, pair_ovf
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def progressive_prepare_trimmed(scene: SceneParams, cfg: RenderConfig):
+    """`progressive_prepare` + occlusion trim: renders the frame once
+    through the fused kernel, then drops every (node, tile) pair that
+    PROVABLY cannot win any pixel of its tile — node's closest possible
+    hit distance exceeds the tile's farthest winner.
+
+    Output-preserving by construction: a self-hit on a sphere at
+    center c, radius r has t >= |c| - r exactly, and numerically-fuzzy
+    tangent grazes stay within the same 2r margin the binning itself
+    relies on (`bin_nodes`), so the bound used here is
+    t_lo = |c| - 2*rad - eps = |c| - 4r - eps. A pair with
+    t_lo > max(min_t over the tile) can never beat the incumbent
+    winner at any pixel (sky pixels hold min_t = BIG, so any tile
+    containing sky keeps all its candidates). Static-camera frameless
+    refresh re-traces the same view continuously (the reference's
+    operating mode, `README.md:8-10`), so the one-time trim cost is
+    amortized across the whole accumulation while every remaining step
+    tests fewer candidates (fraction measured by tools/trim_probe.py;
+    numbers in docs/PERF.md round 5). Parity with the full renderer is
+    pinned by tests and gated in bench.py.
+
+    Returns (pairs, starts, lens, pair_overflow) — drop-in for the
+    `prepared` argument of the step functions."""
+    from sphereflake_tpu.ops.binned import (
+        _BIG as BIGF,
+        camera_vector,
+        trace_pairs_fused_soa,
+    )
+
+    pairs, starts, lens, pair_ovf = progressive_prepare(scene, cfg)
+    cam = camera_vector(scene, cfg)
+    interpret = jax.default_backend() != "tpu"
+    out, _m = trace_pairs_fused_soa(
+        cam, pairs, starts, lens, cfg, interpret=interpret
+    )
+    T = cfg.tiles_y * cfg.tiles_x
+    t_max = jnp.max(out[:, 0].reshape(T, -1), axis=1)  # BIG if any sky
+
+    cap = pairs.shape[1]
+    iota = jnp.arange(cap, dtype=jnp.int32)
+    bounds = jnp.concatenate([starts, (starts[-1] + lens[-1])[None]])
+    tile_of = jnp.clip(
+        jnp.searchsorted(bounds, iota, side="right") - 1, 0, T
+    )
+    in_seg = iota < bounds[-1]
+    # Fat-rows payload: rc = r^2 - |c|^2 at row 3, rc4 = 4r^2 - |c|^2
+    # at the last row; recover |c| and rad = 2r (f32 round-off here is
+    # dwarfed by the whole-r margins above).
+    rc, rc4 = pairs[3], pairs[-1]
+    cc = jnp.maximum((rc4 - 4.0 * rc) / 3.0, 0.0)
+    r2 = jnp.maximum((rc4 - rc) / 3.0, 0.0)
+    t_lo = jnp.sqrt(cc) - 4.0 * jnp.sqrt(r2) - 1e-3
+    keep = in_seg & (t_lo <= t_max[jnp.minimum(tile_of, T - 1)])
+    new_tile = jnp.where(keep, tile_of, T)
+
+    order_key = new_tile  # stable sort keeps per-tile pair order
+    _, idx = jax.lax.sort(
+        (order_key, iota), num_keys=1, is_stable=True
+    )
+    pairs2 = pairs[:, idx]
+    key_sorted = order_key[idx]
+    dead = key_sorted >= T
+    pairs2 = pairs2.at[3, :].set(jnp.where(dead, -BIGF, pairs2[3, :]))
+    bounds2 = jnp.searchsorted(
+        key_sorted, jnp.arange(T + 1, dtype=jnp.int32)
+    )
+    starts2 = bounds2[:-1].astype(jnp.int32)
+    lens2 = (bounds2[1:] - bounds2[:-1]).astype(jnp.int32)
+    return pairs2, starts2, lens2, pair_ovf
 
 
 @partial(jax.jit, static_argnames=("cfg", "batch_size", "scramble"))
@@ -277,6 +351,7 @@ def progressive_step(
         seed=state.seed,
         closest_distance=jnp.minimum(state.closest_distance, batch_closest),
         samples_traced=state.samples_traced + jnp.uint32(batch_size),
+        overflow=state.overflow + jnp.asarray(res.overflow, jnp.int32),
     )
 
 
@@ -308,6 +383,10 @@ class TileProgressiveState:
     seed: Array
     closest_distance: Array
     samples_traced: Array
+    overflow: Array  # [] int32 — pair-table/kernel drops, accumulated
+    # per step (the project invariant: overflow is counted, never
+    # silent — the CLI retries via the capacity ladder on it, like the
+    # full-frame path)
 
 
 def progressive_tiles_init(
@@ -324,6 +403,7 @@ def progressive_tiles_init(
         seed=jnp.uint32(seed),
         closest_distance=jnp.float32(_BIG),
         samples_traced=jnp.uint32(0),
+        overflow=jnp.int32(0),
     )
 
 
@@ -390,6 +470,11 @@ def progressive_tiles_step(
         ),
         samples_traced=state.samples_traced
         + jnp.uint32(tiles_per_step * 1024),
+        overflow=(
+            state.overflow
+            + jnp.asarray(pair_ovf, jnp.int32)
+            + jnp.sum(m[..., 1]).astype(jnp.int32)
+        ),
     )
 
 
@@ -404,3 +489,34 @@ def tile_progressive_gbuffer(state: TileProgressiveState, cfg: RenderConfig):
     position = jnp.stack(imgs[1:4], axis=-1)
     normal = jnp.stack(imgs[4:7], axis=-1)
     return position, normal, min_t, hit
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def tile_progressive_composite(
+    state: TileProgressiveState,
+    scene: SceneParams,
+    cfg: RenderConfig,
+    noise: Array | None = None,
+):
+    """SSAO -> blur -> blur -> composite over the IN-FLIGHT frameless
+    buffer — the reference's display loop, which every vsync uploads
+    whatever the workers have written so far and runs the full post
+    chain on it (`main.cpp:301-335`, `SSAO.cpp:106-142`). Tiles never
+    refreshed still hold their init rows (sky), exactly as the
+    reference's G-buffer shows stale/unwritten texels mid-flight.
+
+    At full coverage the result equals `render_frame(scene, cfg)[0]`
+    of the same scene (pinned by tests/test_progressive.py): the
+    closest-distance feeding the SSAO radius law (`main.cpp:316`) is
+    recomputed from the cropped min_t plane with the full renderer's
+    exact formula, not the running metric (which also sees padded
+    extrapolation columns).
+    """
+    from sphereflake_tpu.ops.noise import ssao_noise_texture
+    from sphereflake_tpu.ops.post import postprocess
+
+    position, normal, min_t, _hit = tile_progressive_gbuffer(state, cfg)
+    closest = jnp.min(min_t)  # `_render_gbuffer_binned` metric formula
+    if noise is None:
+        noise = jnp.asarray(ssao_noise_texture(cfg.noise_size))
+    return postprocess(position, normal, closest, scene, cfg, noise)

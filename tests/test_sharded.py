@@ -273,3 +273,84 @@ def test_render_frames_dp_matches_sequential():
         assert close.mean() > 0.999, (i, close.mean())
     # Frames genuinely differ (different cameras).
     assert np.abs(imgs[0] - imgs[7]).max() > 0.01
+
+def test_sharded_frameless_matches_single_device_tiles():
+    """VERDICT r4 item 3: all devices share one frameless buffer
+    (`Sphereflake.cpp:67-74`). Each device refreshes Sobol-chosen tiles
+    of its own block through the SAME kernel invocation a single-device
+    run uses (same global tile id, camera vector, pair table), so at
+    full coverage the sharded state must equal the single-device
+    frameless state tile-for-tile — and the full render."""
+    from sphereflake_tpu.parallel import (
+        sharded_tiles_as_single,
+        sharded_tiles_init,
+        sharded_tiles_step,
+    )
+    from sphereflake_tpu.runtime.progressive import (
+        progressive_prepare,
+        progressive_tiles_init,
+        progressive_tiles_step,
+        tile_progressive_gbuffer,
+    )
+
+    cfg = RenderConfig(width=256, height=128, max_depth=3, tile_h=32,
+                       tile_w=32, algorithm="binned")
+    scene = default_scene()
+    mesh = make_mesh(shape=(2, 4))  # tiles 4x8 -> 2x2 per device
+    T = cfg.tiles_y * cfg.tiles_x
+    prepared = progressive_prepare(scene, cfg)
+
+    st_s = sharded_tiles_init(cfg, mesh, seed=5)
+    for _ in range(8):  # 8 steps x 4 tiles/device x 8 devices >> 32 tiles
+        st_s = sharded_tiles_step(
+            st_s, scene, cfg, mesh, tiles_per_device=4, prepared=prepared
+        )
+    assert int(np.asarray(st_s.covered).sum()) == T
+    assert int(st_s.overflow) == 0
+
+    st_1 = progressive_tiles_init(cfg, seed=5)
+    for _ in range(10):
+        st_1 = progressive_tiles_step(
+            st_1, scene, cfg, tiles_per_step=8, prepared=prepared
+        )
+    assert int(np.asarray(st_1.covered).sum()) == T
+
+    view = sharded_tiles_as_single(st_s)
+    np.testing.assert_array_equal(
+        np.asarray(view.rows), np.asarray(st_1.rows)
+    )
+    # And both equal the full render.
+    pos_s, nrm_s, mt_s, _ = tile_progressive_gbuffer(view, cfg)
+    gb = render_gbuffer(scene, cfg)
+    assert (np.asarray(mt_s) == np.asarray(gb.min_t)).mean() > 0.99
+    np.testing.assert_allclose(
+        float(st_s.closest_distance), float(st_1.closest_distance),
+        rtol=1e-6,
+    )
+
+
+def test_sharded_frameless_partial_coverage_is_block_local():
+    """Before convergence each device has only touched its own block:
+    covered tiles of device (iy, ix) all lie inside its block."""
+    from sphereflake_tpu.parallel import (
+        sharded_tiles_init,
+        sharded_tiles_step,
+    )
+    from sphereflake_tpu.runtime.progressive import progressive_prepare
+
+    cfg = RenderConfig(width=256, height=128, max_depth=2, tile_h=32,
+                       tile_w=32, algorithm="binned")
+    scene = default_scene()
+    mesh = make_mesh(shape=(4, 2))
+    prepared = progressive_prepare(scene, cfg)
+    st = sharded_tiles_init(cfg, mesh, seed=1)
+    st = sharded_tiles_step(
+        st, scene, cfg, mesh, tiles_per_device=1, prepared=prepared
+    )
+    cov = np.asarray(st.covered)  # [4, 8] tiles
+    # Exactly one tile per device block refreshed.
+    assert cov.sum() == 8
+    for iy in range(4):
+        for ix in range(2):
+            blk = cov[iy : iy + 1, ix * 4 : (ix + 1) * 4]
+            assert blk.sum() == 1

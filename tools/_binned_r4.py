@@ -17,7 +17,7 @@ frame. This path walks the tree ONCE per frame:
    the corner-ray basis (`Sphereflake.cpp:162-167` inverted);
    behind-camera nodes are dropped by a corner-ray dot cull; (node,
    tile) pairs are laid out by a packed-key sort into dense per-tile
-   segments of a 7|8-row payload (all node-loop scalars precomputed). The binning is a conservative
+   segments of a minimal 5|6-row payload. The binning is a conservative
    superset of the per-tile frustum cull, so results match the per-tile
    kernel.
 3. **Fused kernel** (`trace_pairs_fused_soa` / `..._subset`): grid over
@@ -339,7 +339,7 @@ def bin_nodes(nodes, minv, cfg: RenderConfig, frame=None, corners=None):
     (the conservative straddle fallback), which multiplied the pair
     table by the tile count at interior poses (round-3 verdict #8).
 
-    Returns (pairs [7|8, cfg.pair_cap], starts [T], lens [T], n_pairs,
+    Returns (pairs [5|6, cfg.pair_cap], starts [T], lens [T], n_pairs,
     pair_overflow)."""
     pair_cap = cfg.pair_cap
     tw, th = cfg.tile_w, cfg.tile_h
@@ -481,11 +481,7 @@ def bin_nodes(nodes, minv, cfg: RenderConfig, frame=None, corners=None):
         # Fallback (very large grids/caps): one attribute per scan,
         # `first` carrying the monotone high bits of each.
         abits = 31 - fbits_c
-        # Strict: a node spanning the full grid width has bw == tx_n,
-        # so tx_n itself must fit the pack field — tx_n == 1<<abits
-        # would silently clamp that node's width and drop its last tile
-        # column (round-4 advisor finding).
-        assert tx_n < (1 << abits) and ty_n < (1 << abits), (
+        assert tx_n <= (1 << abits) and ty_n <= (1 << abits), (
             f"tile grid {tx_n}x{ty_n} exceeds the {abits}-bit pack budget"
         )
         amask = (1 << abits) - 1
@@ -494,7 +490,7 @@ def bin_nodes(nodes, minv, cfg: RenderConfig, frame=None, corners=None):
                 iota_n,  # node id
                 (first << abits) | tx0,
                 (first << abits) | ty0,
-                (first << abits) | bw,
+                (first << abits) | jnp.minimum(bw, amask),
             ]
         )
         marks = (
@@ -535,34 +531,23 @@ def bin_nodes(nodes, minv, cfg: RenderConfig, frame=None, corners=None):
             (tile, pair_node), num_keys=1
         )
 
-    # Kernel row layout (round 5, "fat rows"): every scalar the node
-    # loop consumes rides the pair table — (cx, cy, cz, rc = r2 - cc,
-    # code[, code_hi], lodr = lod^2*r, rc4 = 4r^2 - cc), 7 rows (8 past
-    # depth 6). Round 4 shipped a 5-row payload with the kernel
-    # re-deriving rc/rc4/lodr on the scalar unit (~15 scalar ops + a
-    # scalar sqrt per candidate) on the bet that the scalar unit rode
-    # free beside the VPU; the node loop is scalar-co-limited, so
-    # precomputing the derived rows (one elementwise pass over ~73k
-    # nodes, plus 2 more gathered rows) trades a little bin time for
-    # kernel time — measured by tools/fatrows_probe.py (interleaved
-    # A/B; numbers in docs/PERF.md round 5). The DMA cost is
-    # unchanged: the 5-row payload was already padded to 8 rows for
-    # Mosaic's 8-row slice alignment, so the fat rows fill slots that
-    # previously shipped zeros.
+    # Kernel row layout: the MINIMAL per-pair payload — (cx, cy, cz,
+    # r2, code[, code_hi]), 5 rows (6 past depth 6). The kernel
+    # re-derives cc / rc / rc4 / lodr from these with ~6 SCALAR-unit
+    # ops per node (the node loop is scalar-driven; the scalar unit
+    # runs beside the VPU for free), because this gather is the
+    # single most expensive op of the frame: ~2.3 ns per gathered
+    # element on this TPU, so every row costs ~0.4 ms at 1080p
+    # (round-4 A/B: 8 rows = 3.0 ms of the 5.6 ms bin stage).
     deep_rows = cfg.max_depth >= 7
-    lod_sq_f = jnp.float32(np.float32(cfg.lod_factor) ** 2)
-    cc_n = nodes["cc"]
-    r2_n = nodes["r2"]
     row_list = [
         nodes["cx"], nodes["cy"], nodes["cz"],
-        r2_n - cc_n,
+        nodes["r2"],
         nodes["code"].astype(jnp.float32),
     ]
     if deep_rows:
         row_list.append(nodes["code_hi"].astype(jnp.float32))
-    row_list.append(lod_sq_f * jnp.sqrt(jnp.maximum(r2_n, 0.0)))
-    row_list.append(4.0 * r2_n - cc_n)
-    rows = jnp.stack(row_list)  # [7|8, N]
+    rows = jnp.stack(row_list)  # [5|6, N]
     pairs = rows[:, node_sorted]  # [R, pair_cap]
     # Dead pairs (tile == n_tiles) sit at the end; starts/lens ignore
     # them, but stamp r2 = -BIG defensively (disc = tca^2 + r2 - cc
@@ -731,19 +716,24 @@ def make_pairs_kernel(win: int, n_tiles: int, deep: bool = False,
                         cx = load(0, idx)
                         cy = load(1, idx)
                         cz = load(2, idx)
+                        r2 = load(3, idx)
                         code = load(4, idx)
-                        # Fat-rows payload: rc / lodr / rc4 arrive
-                        # precomputed per node (round 4 derived them
-                        # here, ~15 scalar ops + a scalar sqrt per
-                        # candidate — see the bin_nodes comment and
-                        # docs/PERF.md round 5 for the A/B).
+                        # Derived per-node constants on the SCALAR
+                        # unit (runs beside the VPU): carrying them as
+                        # pair rows instead cost ~0.4 ms/row of gather
+                        # at 1080p. cc/rc/rc4 match the old
+                        # precomputed rows bit-for-bit; lodr =
+                        # lod*sqrt(r^2) may differ from lod*r by 1 ulp
+                        # (LOD-boundary nodes only, consistently
+                        # across all binned paths).
+                        cc = cx * cx + cy * cy + cz * cz
                         # The tail gate (k < cnt) folds into the
                         # SCALAR rc: rc = -BIG makes disc < 0 for
                         # every lane, saving two vector ops per
                         # candidate in the hot loop.
-                        rc = jnp.where(k < cnt, load(3, idx), -_BIG)
-                        lodr = load(6 if deep else 5, idx)
-                        rc4 = load(7 if deep else 6, idx)
+                        rc = jnp.where(k < cnt, r2 - cc, -_BIG)
+                        rc4 = 4.0 * r2 - cc
+                        lodr = lod_sq * jnp.sqrt(jnp.maximum(r2, 0.0))
                         tca = dx * cx + dy * cy + dz * cz
                         t2 = tca * tca
                         disc = t2 + rc  # r^2 - d^2
@@ -845,7 +835,7 @@ def make_pairs_kernel(win: int, n_tiles: int, deep: bool = False,
 @partial(jax.jit, static_argnames=("cfg", "interpret"))
 def trace_pairs_pallas(
     tile_dirs: Array,  # [T, 1024, 3]
-    pairs: Array,  # [7|8, cfg.pair_cap]
+    pairs: Array,  # [5|6, cfg.pair_cap]
     starts: Array,  # [T] int32
     lens: Array,  # [T] int32
     cfg: RenderConfig,
@@ -874,7 +864,7 @@ def trace_pairs_pallas(
 @partial(jax.jit, static_argnames=("cfg", "interpret"))
 def trace_pairs_pallas_soa(
     dirs_k: Array,  # [T, 3, 8, 128] lane-major
-    pairs: Array,  # [7|8, cfg.pair_cap]
+    pairs: Array,  # [5|6, cfg.pair_cap]
     starts: Array,  # [T] int32
     lens: Array,  # [T] int32
     cfg: RenderConfig,
@@ -891,7 +881,7 @@ def trace_pairs_pallas_soa(
     T = dirs_k.shape[0]
     deep = cfg.max_depth >= 7
     n_out = 6 if deep else 5
-    n_rows = 8 if deep else 7  # fat-rows payload (see bin_nodes)
+    n_rows = 6 if deep else 5
     group = 8
     Tp = -(-T // group) * group
     sg = jax.lax.stop_gradient
@@ -906,7 +896,7 @@ def trace_pairs_pallas_soa(
         lens = jnp.concatenate([lens, jnp.zeros((Tp - T,), lens.dtype)])
     # Pad so the last window's DMA never reads out of bounds; padding
     # carries r2 = -BIG so no test can pass on it.
-    # Mosaic DMA slices must be 8-row aligned: pad the 7 gathered
+    # Mosaic DMA slices must be 8-row aligned: pad the 5|6 gathered
     # rows to 8 with zero rows the kernel never reads (the zero rows
     # cost DMA bandwidth, not gather time — bandwidth is not the
     # bottleneck, the ~2.3 ns/element gather is).
@@ -969,7 +959,7 @@ def trace_pairs_pallas_soa(
 def trace_pairs_fused_soa(
     cam: Array,  # [16] f32: tl(3), ex(3), ey(3), origin(3), x_off,
     # y_off, frame_w, frame_h
-    pairs: Array,  # [7|8, cfg.pair_cap]
+    pairs: Array,  # [5|6, cfg.pair_cap]
     starts: Array,  # [T] int32
     lens: Array,  # [T] int32
     cfg: RenderConfig,
@@ -984,7 +974,7 @@ def trace_pairs_fused_soa(
     T = cfg.tiles_y * cfg.tiles_x
     deep = cfg.max_depth >= 7
     n_out = 9 if deep else 8
-    n_rows = 8 if deep else 7  # fat-rows payload (see bin_nodes)
+    n_rows = 6 if deep else 5
     group = 8
     Tp = -(-T // group) * group
     sg = jax.lax.stop_gradient
@@ -994,7 +984,7 @@ def trace_pairs_fused_soa(
             [starts, jnp.zeros((Tp - T,), starts.dtype)]
         )
         lens = jnp.concatenate([lens, jnp.zeros((Tp - T,), lens.dtype)])
-    # Mosaic DMA slices must be 8-row aligned: pad the 7 gathered
+    # Mosaic DMA slices must be 8-row aligned: pad the 5|6 gathered
     # rows to 8 with zero rows the kernel never reads (the zero rows
     # cost DMA bandwidth, not gather time — bandwidth is not the
     # bottleneck, the ~2.3 ns/element gather is).
@@ -1052,7 +1042,7 @@ def trace_pairs_fused_soa(
 @partial(jax.jit, static_argnames=("cfg", "interpret"))
 def trace_pairs_fused_subset(
     cam: Array,  # [16] f32 camera pack (`camera_vector`)
-    pairs: Array,  # [7|8(+pad), cfg.pair_cap]
+    pairs: Array,  # [5|6(+pad), cfg.pair_cap]
     starts: Array,  # [T] int32 — FULL frame segment table
     lens: Array,  # [T] int32
     tile_ids: Array,  # [K] int32 frame tile ids to render
@@ -1069,7 +1059,7 @@ def trace_pairs_fused_subset(
     K = tile_ids.shape[0]
     deep = cfg.max_depth >= 7
     n_out = 9 if deep else 8
-    n_rows = 8 if deep else 7  # fat-rows payload (see bin_nodes)
+    n_rows = 6 if deep else 5
     group = 8
     Kp = -(-K // group) * group
     sg = jax.lax.stop_gradient
