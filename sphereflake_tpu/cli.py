@@ -97,7 +97,15 @@ def build_parser() -> argparse.ArgumentParser:
                    "(from --gbuffer) instead of rendering")
     p.add_argument("--fit-steps", type=int, default=100)
     p.add_argument("--fit-lr", type=float, default=2e-3)
-    p.add_argument("--fit-params", choices=("camera", "all"), default="camera")
+    p.add_argument("--fit-params", choices=("camera", "ssao", "all"),
+                   default="camera")
+    p.add_argument("--fit-loss", choices=("gbuffer", "image"),
+                   default="gbuffer",
+                   help="'image' fits against the target NPZ's "
+                   "composited frame through the FULL post chain "
+                   "(SSAO/blur/composite) — required to put gradient "
+                   "on --fit-params ssao; save targets with --gbuffer "
+                   "in --mode composite")
     p.add_argument("--checkpoint", type=str, default=None,
                    help="save fitted params/opt state (or progressive "
                    "state) to this NPZ")
@@ -360,7 +368,7 @@ def main(argv=None) -> int:
     if args.fit:
         import optax
 
-        from sphereflake_tpu.fit import camera_only, fit
+        from sphereflake_tpu.fit import camera_only, fit, ssao_only
         from sphereflake_tpu.runtime.checkpoint import (
             load_checkpoint,
             save_checkpoint,
@@ -369,6 +377,22 @@ def main(argv=None) -> int:
         data = np.load(args.fit)
         tgt_pos = jnp.asarray(data["position"])
         tgt_nrm = jnp.asarray(data["normal"])
+        tgt_img = None
+        if args.fit_loss == "image":
+            if "image" not in data:
+                print(
+                    f"error: {args.fit} has no 'image' plane — save the "
+                    "target with --gbuffer in --mode composite",
+                    file=sys.stderr,
+                )
+                return 2
+            tgt_img = jnp.asarray(data["image"])
+        if args.fit_params == "ssao" and args.fit_loss != "image":
+            print(
+                "error: --fit-params ssao needs --fit-loss image (the "
+                "G-buffer carries no SSAO signal)", file=sys.stderr,
+            )
+            return 2
         opt = optax.adam(
             optax.cosine_decay_schedule(args.fit_lr, args.fit_steps)
         )
@@ -378,12 +402,14 @@ def main(argv=None) -> int:
                 args.resume, {"scene": scene, "opt_state": opt.init(scene)}
             )
             scene, opt_state = loaded["scene"], loaded["opt_state"]
+        filters = {"camera": camera_only, "ssao": ssao_only}
         res = fit(
             scene, tgt_pos, tgt_nrm, cfg,
             steps=args.fit_steps, optimizer=opt, opt_state=opt_state,
             mesh=mesh,
-            param_filter=camera_only if args.fit_params == "camera" else None,
+            param_filter=filters.get(args.fit_params),
             log_every=max(1, args.fit_steps // 10),
+            loss=args.fit_loss, target_image=tgt_img,
         )
         print(
             f"fit: loss {res.losses[0]:.6f} -> best "
@@ -734,7 +760,10 @@ def main(argv=None) -> int:
 
     write_png(args.output, out)
     if args.gbuffer:
-        write_gbuffer_npz(args.gbuffer, gb.position, gb.normal, gb.min_t)
+        write_gbuffer_npz(
+            args.gbuffer, gb.position, gb.normal, gb.min_t,
+            image=image if args.mode == "composite" else None,
+        )
     print(f"wrote {args.output}")
     return 0
 

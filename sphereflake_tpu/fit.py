@@ -41,12 +41,34 @@ def gbuffer_loss(
     return err / n_pix
 
 
+def image_loss(scene: SceneParams, target_image: Array, cfg: RenderConfig):
+    """Mean-squared COMPOSITE-image error: differentiates through the
+    ENTIRE reference pipeline — trace, SSAO (incl. the radius law fed
+    by the closest-distance metric, `main.cpp:316`), both blur passes,
+    and the composite (`main.cpp:301-335`). This is the loss that puts
+    gradient signal on `SSAOParams` (intensity/scale/bias,
+    `SSAO.cpp:49-55`): the G-buffer loss never touches them."""
+    from sphereflake_tpu.render import render_frame
+
+    image, _gb = render_frame(scene, cfg)
+    n_pix = cfg.width * cfg.height
+    return jnp.sum((image - target_image) ** 2) / n_pix
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def fit_step(
     scene: SceneParams, target_pos: Array, target_nrm: Array, cfg: RenderConfig
 ):
     """(loss, grads) for one single-device step."""
     return jax.value_and_grad(gbuffer_loss)(scene, target_pos, target_nrm, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def fit_step_image(
+    scene: SceneParams, target_image: Array, cfg: RenderConfig
+):
+    """(loss, grads) for one image-loss step (post chain included)."""
+    return jax.value_and_grad(image_loss)(scene, target_image, cfg)
 
 
 @dataclasses.dataclass
@@ -69,6 +91,8 @@ def fit(
     param_filter: Callable[[SceneParams], SceneParams] | None = None,
     log_every: int = 0,
     keep_best: bool = True,
+    loss: str = "gbuffer",
+    target_image: Array | None = None,
 ) -> FitResult:
     """Run an optax fitting loop; returns the fitted scene + history.
 
@@ -77,13 +101,36 @@ def fit(
     checkpointed run. With `keep_best` (default) the returned scene is
     the best-loss iterate — the G-buffer loss is only piecewise smooth
     (silhouette discontinuities), so the last Adam iterate can sit above
-    the best one found.
+    the best one found. `loss="image"` fits against a target COMPOSITE
+    image through the full post chain (`image_loss`) — required for
+    SSAO-parameter fitting; pass `target_image` instead of the G-buffer
+    planes.
     """
     optimizer = optimizer or optax.adam(learning_rate)
     if opt_state is None:
         opt_state = optimizer.init(scene)
 
-    if mesh is not None:
+    if loss == "image":
+        assert target_image is not None, "loss='image' needs target_image"
+        if mesh is not None:
+            # The sharded pipeline produces the identical image
+            # (tests/test_sharded.py); differentiate it directly.
+            from sphereflake_tpu.parallel import render_frame_sharded
+
+            @partial(jax.jit, static_argnames=())
+            def step_fn(s):
+                def f(s):
+                    image, _gb = render_frame_sharded(s, cfg, mesh)
+                    return (
+                        jnp.sum((image - target_image) ** 2)
+                        / (cfg.width * cfg.height)
+                    )
+
+                return jax.value_and_grad(f)(s)
+        else:
+            def step_fn(s):
+                return fit_step_image(s, target_image, cfg)
+    elif mesh is not None:
         from sphereflake_tpu.parallel import fit_step_sharded
 
         def step_fn(s):
@@ -116,3 +163,11 @@ def camera_only(grads: SceneParams) -> SceneParams:
     """Gradient mask: optimize the camera pose only."""
     zero = jax.tree.map(jnp.zeros_like, grads)
     return dataclasses.replace(zero, camera=grads.camera)
+
+
+def ssao_only(grads: SceneParams) -> SceneParams:
+    """Gradient mask: optimize the SSAO parameters only (the
+    reference's tuned uniforms, `SSAO.cpp:49-55`); pair with
+    `loss="image"` — the G-buffer loss carries no SSAO signal."""
+    zero = jax.tree.map(jnp.zeros_like, grads)
+    return dataclasses.replace(zero, ssao=grads.ssao)

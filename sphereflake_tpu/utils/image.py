@@ -58,14 +58,18 @@ def write_png(path: str, img) -> None:
         f.write(data)
 
 
-def write_gbuffer_npz(path: str, position, normal, min_t) -> None:
-    """Save raw G-buffer planes (the reference's RGBA32F textures)."""
-    np.savez_compressed(
-        path,
+def write_gbuffer_npz(path: str, position, normal, min_t, image=None) -> None:
+    """Save raw G-buffer planes (the reference's RGBA32F textures);
+    `image` optionally adds the composited frame (float RGB) — the
+    target surface for image-loss fitting (`fit.image_loss`)."""
+    planes = dict(
         position=np.asarray(position),
         normal=np.asarray(normal),
         min_t=np.asarray(min_t),
     )
+    if image is not None:
+        planes["image"] = np.asarray(image)
+    np.savez_compressed(path, **planes)
 
 
 def shade_normals(normal, hit=None, background=0.12) -> np.ndarray:
