@@ -132,7 +132,11 @@ def main() -> int:
         t_s = run(n_small)
         t_b = run(n_big)
         dts.append((t_b - t_s) / (n_big - n_small))
-    dt = min(dts)
+    # Median, not min: single-trial outliers on the jittery tunnel cut
+    # both ways, and a min over marginals can undercut every real
+    # trial (round-5 probes saw a 1.46 ms "min" among 2.9-3.2 ms
+    # trials). The full spread rides in the JSON.
+    dt = sorted(dts)[1]
     frame_rays_per_s = cfg.width * cfg.height / dt
     print(
         f"full frames (moving camera, re-binned each frame): "
@@ -151,7 +155,7 @@ def main() -> int:
     # the accumulated image must match the full renderer, cover every
     # tile, and drop nothing.
     from sphereflake_tpu.runtime.progressive import (
-        progressive_prepare,
+        progressive_prepare_trimmed,
         progressive_tiles_init,
         progressive_tiles_step,
         tile_progressive_gbuffer,
@@ -160,9 +164,13 @@ def main() -> int:
     tiles_per_step = 2048
     T = cfg.tiles_y * cfg.tiles_x
 
-    # Correctness gate: accumulate to full coverage and compare.
+    # Correctness gate: accumulate to full coverage and compare. The
+    # prepared table is occlusion- and frustum-trimmed (provably
+    # output-preserving — `progressive_prepare_trimmed`); the gate
+    # below verifies the accumulated buffer against the UNTRIMMED full
+    # renderer, so any incorrect trim fails the bench.
     st = progressive_tiles_init(cfg, seed=1)
-    prepared0 = progressive_prepare(scene0, cfg)
+    prepared0 = progressive_prepare_trimmed(scene0, cfg)
     if int(np.asarray(prepared0[3])):
         print("FAIL: pair overflow in frameless prepare", file=sys.stderr)
         return 1
@@ -194,7 +202,7 @@ def main() -> int:
     @partial(jax.jit, static_argnames=("n",))
     def refresh(scene, n):
         state = progressive_tiles_init(cfg, seed=0)
-        prepared = progressive_prepare(scene, cfg)
+        prepared = progressive_prepare_trimmed(scene, cfg)
 
         def body(st, _):
             st = progressive_tiles_step(
@@ -222,7 +230,7 @@ def main() -> int:
         t_s = run_refresh(n_small)
         t_b = run_refresh(n_big)
         rts.append((t_b - t_s) / (n_big - n_small))
-    rdt = min(rts)
+    rdt = sorted(rts)[1]  # median (see full-frame note)
     rays_per_s = tiles_per_step * 1024 / rdt
     print(
         f"sustained frameless refresh (reference metric): "

@@ -77,6 +77,13 @@ def build_parser() -> argparse.ArgumentParser:
                    "every vsync, main.cpp:301-335); snapshots are "
                    "dispatched async and fetched while later steps "
                    "run, so accumulation never stalls on them")
+    p.add_argument("--no-trim-prepared", action="store_true",
+                   help="frameless mode: keep the full candidate table "
+                   "instead of the occlusion/frustum-trimmed one (the "
+                   "trim renders one frame at prepare time and drops "
+                   "~35%% of candidates PROVABLY unable to win any "
+                   "pixel — output is bit-identical; disable only to "
+                   "skip the prepare-time render)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--frames", type=int, default=1, help="frames to render (timing)")
     p.add_argument("--platform", choices=("auto", "cpu"), default="auto")
@@ -446,10 +453,19 @@ def main(argv=None) -> int:
         # same ladder the full-frame path retries on).
         from sphereflake_tpu.render import grow_capacity
 
+        from sphereflake_tpu.runtime.progressive import (
+            progressive_prepare_trimmed,
+        )
+
+        prep_fn = (
+            progressive_prepare
+            if (args.no_trim_prepared or args.progressive_unit != "tile")
+            else progressive_prepare_trimmed
+        )
         prepared = None
         if cfg.algorithm == "binned":
             while True:
-                prepared = progressive_prepare(scene, cfg)
+                prepared = prep_fn(scene, cfg)
                 if not int(prepared[3]):
                     break
                 if cfg.global_cap >= (9 << 16):

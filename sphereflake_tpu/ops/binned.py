@@ -320,6 +320,181 @@ def corner_basis(cam, width: int, height: int):
     return minv
 
 
+def _decode_tiles_window(geo, cfg: RenderConfig, lo: int, width: int):
+    """Decode (tile, node) for pair slots [lo, lo + width) from the
+    per-node geometry dict — the windowed heart of the pair fill.
+
+    `bin_nodes` calls this with the full window (lo=0, width=pair_cap);
+    the shared-bin sharded path (`parallel/shared_bin.py`) gives each
+    device its own static slot window, with the running-max carry-in at
+    the window boundary computed DIRECTLY from the node arrays (the
+    carry at slot lo is the max packed source over nodes whose first
+    slot precedes lo — a masked reduction, exact in int32), so the
+    windowed decode is bit-identical to the full one.
+
+    Live nodes have strictly increasing `first`, so in-bounds slots
+    are UNIQUE — scatter with mode="drop" + unique_indices, all fill
+    sources riding ONE batched scatter. Dead and overflowed nodes aim
+    at width + their own index: out of bounds (dropped) but DISTINCT,
+    so the uniqueness promise holds for every index (XLA makes
+    duplicate indices UB when uniqueness is promised, even dropped
+    ones — round-3 advisor finding).
+    """
+    pair_cap = cfg.pair_cap
+    tx_n, ty_n = cfg.tiles_x, cfg.tiles_y
+    n_tiles = tx_n * ty_n
+    n_nodes = geo["n_nodes"]
+    first, counts = geo["first"], geo["counts"]
+    tx0, ty0, bw = geo["tx0"], geo["ty0"], geo["bw"]
+    n_pairs = geo["n_pairs"]
+    iota_n = jnp.arange(n_nodes, dtype=jnp.int32)
+    in_table = (counts > 0) & (first < pair_cap)
+    # Everything not landing INSIDE this window (dead, overflowed, or
+    # out-of-window nodes alike) aims at width + its own index: out of
+    # bounds (dropped) but DISTINCT from every in-window slot and from
+    # each other, preserving the uniqueness promise.
+    in_win = in_table & (first >= lo) & (first < lo + width)
+    slot_w = jnp.where(in_win, first - lo, width + iota_n)
+    iota_p = lo + jnp.arange(width, dtype=jnp.int32)
+
+    assert pair_cap <= PAIR_CAP
+    # Scatter width is the bin stage's main cost (~3 ns per scattered
+    # element), so pack as tightly as the STATIC bit budgets allow:
+    # the fill only needs each packed word monotone over slots, and
+    # both `iota_n` (node id) and `first` are strictly increasing —
+    # either works as the high-bits carrier.
+    nbits = max(1, (n_nodes - 1).bit_length())
+    fbits_c = max(1, (pair_cap - 1).bit_length())
+    txb = max(1, (tx_n - 1).bit_length())
+    tyb = max(1, (ty_n - 1).bit_length())
+    bwb = tx_n.bit_length()  # bw in [1, tx_n]
+    two_rows = (nbits + bwb <= 31) and (fbits_c + txb + tyb <= 31)
+    if two_rows:
+        # Row A: (node << bwb) | bw; row B: (first << txb+tyb) |
+        # (tx0 << tyb) | ty0 — the whole decode from TWO scans.
+        sources = jnp.stack(
+            [
+                (iota_n << bwb) | bw,
+                (first << (txb + tyb)) | (tx0 << tyb) | ty0,
+            ]
+        )
+    else:
+        # Fallback (very large grids/caps): one attribute per scan,
+        # `first` carrying the monotone high bits of each.
+        abits = 31 - fbits_c
+        # Strict: a node spanning the full grid width has bw == tx_n,
+        # so tx_n itself must fit the pack field — tx_n == 1<<abits
+        # would silently clamp that node's width and drop its last tile
+        # column (round-4 advisor finding).
+        assert tx_n < (1 << abits) and ty_n < (1 << abits), (
+            f"tile grid {tx_n}x{ty_n} exceeds the {abits}-bit pack budget"
+        )
+        amask = (1 << abits) - 1
+        sources = jnp.stack(
+            [
+                iota_n,  # node id
+                (first << abits) | tx0,
+                (first << abits) | ty0,
+                (first << abits) | bw,
+            ]
+        )
+    k = sources.shape[0]
+    marks = (
+        jnp.full((k, width), -1, jnp.int32)
+        .at[:, slot_w]
+        .set(sources, mode="drop", unique_indices=True)
+    )
+    # Boundary carry: the running max entering this window = the max
+    # source among nodes scattered before it (int32 max, exact; empty
+    # at lo = 0, where the mask is all-False and the max is _IMIN).
+    # `lo` may be traced (the shared-bin path passes each device's
+    # window start).
+    before = in_table & (first < lo)
+    carry = jnp.max(jnp.where(before[None, :], sources, _IMIN), axis=1)
+    pk = [
+        jnp.maximum(r, c)
+        for r, c in zip(_running_max_rows(marks), carry)
+    ]
+    if two_rows:
+        pk_a, pk_b = pk
+        pair_node = jnp.maximum(pk_a >> bwb, 0)
+        nb_w = jnp.maximum(pk_a & ((1 << bwb) - 1), 1)
+        p_first = pk_b >> (txb + tyb)
+        p_tx0 = (pk_b >> tyb) & ((1 << txb) - 1)
+        p_ty0 = pk_b & ((1 << tyb) - 1)
+    else:
+        pair_node, pk_x0, pk_y0, pk_bw = pk
+        pair_node = jnp.maximum(pair_node, 0)
+        p_first = pk_x0 >> abits
+        p_tx0 = pk_x0 & amask
+        p_ty0 = pk_y0 & amask
+        nb_w = jnp.maximum(pk_bw & amask, 1)
+    pair_rank = iota_p - p_first
+    pair_valid = iota_p < n_pairs  # offsets are gapless
+    # Overflowed tails can decode garbage coordinates — clip each axis
+    # (avoiding i32 overflow in the tile index product) so they land on
+    # the sentinel and sort to the end (overflow is counted anyway).
+    p_tx = jnp.minimum(p_tx0 + pair_rank % nb_w, tx_n)
+    p_ty = jnp.minimum(p_ty0 + pair_rank // nb_w, ty_n)
+    tile = jnp.where(
+        pair_valid, jnp.minimum(p_ty * tx_n + p_tx, n_tiles), n_tiles
+    )
+    return tile, pair_node
+
+
+def _sort_pairs(tile, pair_node, n_nodes: int, n_tiles: int):
+    """One sort into tile-segment order. Packed single key (tile <<
+    node_bits | node) when both fit 31 bits (halves the sort's data
+    movement vs the two-array variadic sort); the argsort-then-gather
+    form costs two extra big random gathers for the same result."""
+    node_bits = max(1, (n_nodes - 1).bit_length())
+    tile_bits = (n_tiles + 1).bit_length()
+    if node_bits + tile_bits <= 31:
+        packed = (tile << node_bits) | pair_node
+        packed = jax.lax.sort(packed)
+        tile_sorted = packed >> node_bits
+        node_sorted = packed & ((1 << node_bits) - 1)
+    else:
+        tile_sorted, node_sorted = jax.lax.sort(
+            (tile, pair_node), num_keys=1
+        )
+    return tile_sorted, node_sorted
+
+
+def node_rows(nodes, cfg: RenderConfig):
+    """The fat-rows node attribute matrix [7|8, N] the pair gather
+    pulls from.
+
+    Layout (round 5, "fat rows"): every scalar the kernel's node loop
+    consumes rides the pair table — (cx, cy, cz, rc = r2 - cc,
+    code[, code_hi], lodr = lod^2*r, rc4 = 4r^2 - cc), 7 rows (8 past
+    depth 6). Round 4 shipped a 5-row payload with the kernel
+    re-deriving rc/rc4/lodr on the scalar unit (~15 scalar ops + a
+    scalar sqrt per candidate) on the bet that the scalar unit rode
+    free beside the VPU; the node loop is scalar-co-limited, so
+    precomputing the derived rows (one elementwise pass over ~73k
+    nodes, plus 2 more gathered rows) trades a little bin time for
+    kernel time — measured by tools/fatrows_probe.py (interleaved
+    A/B; numbers in docs/PERF.md round 5). The DMA cost is unchanged:
+    the 5-row payload was already padded to 8 rows for Mosaic's 8-row
+    slice alignment, so the fat rows fill slots that previously
+    shipped zeros."""
+    deep_rows = cfg.max_depth >= 7
+    lod_sq_f = jnp.float32(np.float32(cfg.lod_factor) ** 2)
+    cc_n = nodes["cc"]
+    r2_n = nodes["r2"]
+    row_list = [
+        nodes["cx"], nodes["cy"], nodes["cz"],
+        r2_n - cc_n,
+        nodes["code"].astype(jnp.float32),
+    ]
+    if deep_rows:
+        row_list.append(nodes["code_hi"].astype(jnp.float32))
+    row_list.append(lod_sq_f * jnp.sqrt(jnp.maximum(r2_n, 0.0)))
+    row_list.append(4.0 * r2_n - cc_n)
+    return jnp.stack(row_list)
+
+
 def bin_nodes(nodes, minv, cfg: RenderConfig, frame=None, corners=None):
     """Conservative (node, tile) pairing + one sort into tile segments.
 
@@ -342,9 +517,40 @@ def bin_nodes(nodes, minv, cfg: RenderConfig, frame=None, corners=None):
     Returns (pairs [7|8, cfg.pair_cap], starts [T], lens [T], n_pairs,
     pair_overflow)."""
     pair_cap = cfg.pair_cap
+    n_tiles = cfg.tiles_x * cfg.tiles_y
+    geo = bin_geometry(nodes, minv, cfg, frame=frame, corners=corners)
+    n_pairs, pair_overflow = geo["n_pairs"], geo["pair_overflow"]
+    n_nodes = geo["n_nodes"]
+    tile, pair_node = _decode_tiles_window(geo, cfg, 0, pair_cap)
+    tile_sorted, node_sorted = _sort_pairs(tile, pair_node, n_nodes, n_tiles)
+    rows = node_rows(nodes, cfg)  # [7|8, N]
+    pairs = rows[:, node_sorted]  # [R, pair_cap]
+    # Dead pairs (tile == n_tiles) sit at the end; starts/lens ignore
+    # them, but stamp r2 = -BIG defensively (disc = tca^2 + r2 - cc
+    # can then never reach 0) so no ray test — nor an unrolled-tail or
+    # window-overshoot read — can ever pass.
+    dead = tile_sorted >= n_tiles
+    pairs = pairs.at[3, :].set(jnp.where(dead, -_BIG, pairs[3, :]))
+
+    bounds = jnp.searchsorted(
+        tile_sorted, jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    )
+    starts, lens = bounds[:-1], bounds[1:] - bounds[:-1]
+    return pairs, starts.astype(jnp.int32), lens.astype(jnp.int32), (
+        n_pairs, pair_overflow
+    )
+
+
+def bin_geometry(nodes, minv, cfg: RenderConfig, frame=None, corners=None):
+    """Per-node screen-space geometry of the pair fill (all elementwise
+    — no scatters/sorts): conservative tile ranges from interval
+    arithmetic in the corner-ray basis, the behind-camera cull, and
+    the pair-slot layout (counts / first / n_pairs). Shared between
+    `bin_nodes` (full window) and the shared-bin sharded path
+    (`parallel/shared_bin.py`, per-device slot windows)."""
+    pair_cap = cfg.pair_cap
     tw, th = cfg.tile_w, cfg.tile_h
     tx_n, ty_n = cfg.tiles_x, cfg.tiles_y
-    n_tiles = tx_n * ty_n
     frame_w, frame_h, x_off, y_off = (
         frame if frame is not None else (cfg.width, cfg.height, 0.0, 0.0)
     )
@@ -431,158 +637,16 @@ def bin_nodes(nodes, minv, cfg: RenderConfig, frame=None, corners=None):
     # each fill a monotone max-scan — 4 scans + 4 scatters, all
     # bandwidth-bound.
     first = offsets - counts
-    # Live nodes have strictly increasing `first`, so in-bounds slots
-    # are UNIQUE — scatter with mode="drop" + unique_indices, all four
-    # fill sources riding ONE batched scatter. Dead and overflowed
-    # nodes aim at pair_cap + their own index: out of bounds (dropped)
-    # but DISTINCT, so the uniqueness promise holds for every index
-    # (XLA makes duplicate indices UB when uniqueness is promised,
-    # even dropped ones — round-3 advisor finding).
     n_nodes = counts.shape[0]
-    iota_n = jnp.arange(n_nodes, dtype=jnp.int32)
-    slot = jnp.where(
-        (counts > 0) & (first < pair_cap), first, pair_cap + iota_n
-    )
-    iota_p = jnp.arange(pair_cap, dtype=jnp.int32)
-
-    assert pair_cap <= PAIR_CAP
-    # Scatter width is the bin stage's main cost (~3 ns per scattered
-    # element), so pack as tightly as the STATIC bit budgets allow:
-    # the fill only needs each packed word monotone over slots, and
-    # both `iota_n` (node id) and `first` are strictly increasing —
-    # either works as the high-bits carrier.
-    nbits = max(1, (n_nodes - 1).bit_length())
-    fbits_c = max(1, (pair_cap - 1).bit_length())
-    txb = max(1, (tx_n - 1).bit_length())
-    tyb = max(1, (ty_n - 1).bit_length())
-    bwb = tx_n.bit_length()  # bw in [1, tx_n]
-    two_rows = (nbits + bwb <= 31) and (fbits_c + txb + tyb <= 31)
-    if two_rows:
-        # Row A: (node << bwb) | bw; row B: (first << txb+tyb) |
-        # (tx0 << tyb) | ty0 — the whole decode from TWO scans.
-        sources = jnp.stack(
-            [
-                (iota_n << bwb) | bw,
-                (first << (txb + tyb)) | (tx0 << tyb) | ty0,
-            ]
-        )
-        marks = (
-            jnp.full((2, pair_cap), -1, jnp.int32)
-            .at[:, slot]
-            .set(sources, mode="drop", unique_indices=True)
-        )
-        pk_a, pk_b = _running_max_rows(marks)
-        pair_node = jnp.maximum(pk_a >> bwb, 0)
-        nb_w = jnp.maximum(pk_a & ((1 << bwb) - 1), 1)
-        p_first = pk_b >> (txb + tyb)
-        p_tx0 = (pk_b >> tyb) & ((1 << txb) - 1)
-        p_ty0 = pk_b & ((1 << tyb) - 1)
-    else:
-        # Fallback (very large grids/caps): one attribute per scan,
-        # `first` carrying the monotone high bits of each.
-        abits = 31 - fbits_c
-        # Strict: a node spanning the full grid width has bw == tx_n,
-        # so tx_n itself must fit the pack field — tx_n == 1<<abits
-        # would silently clamp that node's width and drop its last tile
-        # column (round-4 advisor finding).
-        assert tx_n < (1 << abits) and ty_n < (1 << abits), (
-            f"tile grid {tx_n}x{ty_n} exceeds the {abits}-bit pack budget"
-        )
-        amask = (1 << abits) - 1
-        sources = jnp.stack(
-            [
-                iota_n,  # node id
-                (first << abits) | tx0,
-                (first << abits) | ty0,
-                (first << abits) | bw,
-            ]
-        )
-        marks = (
-            jnp.full((4, pair_cap), -1, jnp.int32)
-            .at[:, slot]
-            .set(sources, mode="drop", unique_indices=True)
-        )
-        pair_node, pk_x0, pk_y0, pk_bw = _running_max_rows(marks)
-        pair_node = jnp.maximum(pair_node, 0)
-        p_first = pk_x0 >> abits
-        p_tx0 = pk_x0 & amask
-        p_ty0 = pk_y0 & amask
-        nb_w = jnp.maximum(pk_bw & amask, 1)
-    pair_rank = iota_p - p_first
-    pair_valid = iota_p < n_pairs  # offsets are gapless
-    # Overflowed tails can decode garbage coordinates — clip each axis
-    # (avoiding i32 overflow in the tile index product) so they land on
-    # the sentinel and sort to the end (overflow is counted anyway).
-    p_tx = jnp.minimum(p_tx0 + pair_rank % nb_w, tx_n)
-    p_ty = jnp.minimum(p_ty0 + pair_rank // nb_w, ty_n)
-    tile = jnp.where(
-        pair_valid, jnp.minimum(p_ty * tx_n + p_tx, n_tiles), n_tiles
-    )
-
-    # Sort by ONE packed (tile, node) key when both fit 31 bits
-    # (halves the sort's data movement vs the two-array variadic
-    # sort); the argsort-then-gather form costs two extra big random
-    # gathers for the same result.
-    node_bits = max(1, (n_nodes - 1).bit_length())
-    tile_bits = (n_tiles + 1).bit_length()
-    if node_bits + tile_bits <= 31:
-        packed = (tile << node_bits) | pair_node
-        packed = jax.lax.sort(packed)
-        tile_sorted = packed >> node_bits
-        node_sorted = packed & ((1 << node_bits) - 1)
-    else:
-        tile_sorted, node_sorted = jax.lax.sort(
-            (tile, pair_node), num_keys=1
-        )
-
-    # Kernel row layout (round 5, "fat rows"): every scalar the node
-    # loop consumes rides the pair table — (cx, cy, cz, rc = r2 - cc,
-    # code[, code_hi], lodr = lod^2*r, rc4 = 4r^2 - cc), 7 rows (8 past
-    # depth 6). Round 4 shipped a 5-row payload with the kernel
-    # re-deriving rc/rc4/lodr on the scalar unit (~15 scalar ops + a
-    # scalar sqrt per candidate) on the bet that the scalar unit rode
-    # free beside the VPU; the node loop is scalar-co-limited, so
-    # precomputing the derived rows (one elementwise pass over ~73k
-    # nodes, plus 2 more gathered rows) trades a little bin time for
-    # kernel time — measured by tools/fatrows_probe.py (interleaved
-    # A/B; numbers in docs/PERF.md round 5). The DMA cost is
-    # unchanged: the 5-row payload was already padded to 8 rows for
-    # Mosaic's 8-row slice alignment, so the fat rows fill slots that
-    # previously shipped zeros.
-    deep_rows = cfg.max_depth >= 7
-    lod_sq_f = jnp.float32(np.float32(cfg.lod_factor) ** 2)
-    cc_n = nodes["cc"]
-    r2_n = nodes["r2"]
-    row_list = [
-        nodes["cx"], nodes["cy"], nodes["cz"],
-        r2_n - cc_n,
-        nodes["code"].astype(jnp.float32),
-    ]
-    if deep_rows:
-        row_list.append(nodes["code_hi"].astype(jnp.float32))
-    row_list.append(lod_sq_f * jnp.sqrt(jnp.maximum(r2_n, 0.0)))
-    row_list.append(4.0 * r2_n - cc_n)
-    rows = jnp.stack(row_list)  # [7|8, N]
-    pairs = rows[:, node_sorted]  # [R, pair_cap]
-    # Dead pairs (tile == n_tiles) sit at the end; starts/lens ignore
-    # them, but stamp r2 = -BIG defensively (disc = tca^2 + r2 - cc
-    # can then never reach 0) so no ray test — nor an unrolled-tail or
-    # window-overshoot read — can ever pass.
-    dead = tile_sorted >= n_tiles
-    pairs = pairs.at[3, :].set(jnp.where(dead, -_BIG, pairs[3, :]))
-
-    bounds = jnp.searchsorted(
-        tile_sorted, jnp.arange(n_tiles + 1, dtype=jnp.int32)
-    )
-    starts, lens = bounds[:-1], bounds[1:] - bounds[:-1]
-    return pairs, starts.astype(jnp.int32), lens.astype(jnp.int32), (
-        n_pairs, pair_overflow
+    return dict(
+        tx0=tx0, ty0=ty0, bw=bw, counts=counts, first=first,
+        n_pairs=n_pairs, n_nodes=n_nodes, pair_overflow=pair_overflow,
     )
 
 
 def make_pairs_kernel(win: int, n_tiles: int, deep: bool = False,
                       group: int = 8, fused=None, lod_sq: float = 4900.0,
-                      indirect: bool = False):
+                      indirect: bool = False, shade_only: bool = False):
     """Kernel body v3: windowed node loop, overlapped DMA, ILP, and
     `group` tiles per grid step.
 
@@ -628,7 +692,13 @@ def make_pairs_kernel(win: int, n_tiles: int, deep: bool = False,
       dispatch-overhead-bound ops per frame on this backend.
     """
     assert n_tiles % group == 0
-    stride = 6 if deep else 5
+    # `shade_only` (fused only): the caller needs just (min_t, pos,
+    # nrm) — the frameless refresh unit (`runtime/progressive.py`),
+    # whose state never stores path codes. Dropping the code (and deep
+    # hi) accumulator saves 1-2 vector selects per candidate in the
+    # hot loop and shrinks the output to 7 rows.
+    assert not (shade_only and fused is None)
+    stride = 4 if shade_only else (6 if deep else 5)
     buf_w = win + _LANES + _UNROLL  # aligned window + unroll overshoot
     if fused is not None:
         tile_w, tile_h, tiles_x = fused
@@ -731,7 +801,7 @@ def make_pairs_kernel(win: int, n_tiles: int, deep: bool = False,
                         cx = load(0, idx)
                         cy = load(1, idx)
                         cz = load(2, idx)
-                        code = load(4, idx)
+                        code = None if shade_only else load(4, idx)
                         # Fat-rows payload: rc / lodr / rc4 arrive
                         # precomputed per node (round 4 derived them
                         # here, ~15 scalar ops + a scalar sqrt per
@@ -762,9 +832,10 @@ def make_pairs_kernel(win: int, n_tiles: int, deep: bool = False,
                         better = ok & (ts < bt)
                         sel = lambda new, old: jnp.where(better, new, old)
                         acc[a] = sel(ts, bt)
-                        acc[a + 1] = sel(code, acc[a + 1])
-                        if deep:
-                            acc[a + 2] = sel(load(5, idx), acc[a + 2])
+                        if not shade_only:
+                            acc[a + 1] = sel(code, acc[a + 1])
+                            if deep:
+                                acc[a + 2] = sel(load(5, idx), acc[a + 2])
                         b = a + stride - 3
                         acc[b] = sel(cx, acc[b])
                         acc[b + 1] = sel(cy, acc[b + 1])
@@ -806,6 +877,27 @@ def make_pairs_kernel(win: int, n_tiles: int, deep: bool = False,
             if fused is None:
                 for c in range(stride):
                     out_ref[g, c] = best[c]
+            elif shade_only:
+                # Code-free epilogue: hit = "any candidate beat the
+                # _BIG init" (every accepted ts is a real distance,
+                # orders of magnitude below _BIG). Rows: (min_t, pos3,
+                # nrm3) — exactly the frameless state layout.
+                bt = best[0]
+                bcx, bcy, bcz = best[1], best[2], best[3]
+                hitv = bt < 0.5 * _BIG
+                t0 = jnp.where(hitv, bt, 0.0)
+                pxv, pyv, pzv = dx * t0, dy * t0, dz * t0
+                wx, wy, wz = pxv - bcx, pyv - bcy, pzv - bcz
+                nn = jnp.sqrt(jnp.maximum(wx * wx + wy * wy + wz * wz, 0.0))
+                nn = jnp.where(nn > 0.0, nn, 1.0)
+                hf = hitv.astype(jnp.float32)
+                out_ref[g, 0] = bt
+                out_ref[g, 1] = pxv
+                out_ref[g, 2] = pyv
+                out_ref[g, 3] = pzv
+                out_ref[g, 4] = hf * (wx / nn)
+                out_ref[g, 5] = hf * (wy / nn)
+                out_ref[g, 6] = hf * (wz / nn)
             else:
                 # In-kernel G-buffer shading (`render.shade_gbuffer`
                 # math): position = dir * t (camera-relative,
@@ -1049,7 +1141,7 @@ def trace_pairs_fused_soa(
     return out[:T], metrics[:T].reshape(T, 1, 4)
 
 
-@partial(jax.jit, static_argnames=("cfg", "interpret"))
+@partial(jax.jit, static_argnames=("cfg", "interpret", "shade_only"))
 def trace_pairs_fused_subset(
     cam: Array,  # [16] f32 camera pack (`camera_vector`)
     pairs: Array,  # [7|8(+pad), cfg.pair_cap]
@@ -1058,6 +1150,7 @@ def trace_pairs_fused_subset(
     tile_ids: Array,  # [K] int32 frame tile ids to render
     cfg: RenderConfig,
     interpret: bool = False,
+    shade_only: bool = False,
 ):
     """Fused raygen+trace+shade for an arbitrary SUBSET of the frame's
     tiles (the TPU-native frameless mode: refresh whole 1024-ray tiles
@@ -1065,10 +1158,12 @@ def trace_pairs_fused_subset(
     renders frame tile `tile_ids[k]` via an indirection read in the
     kernel; starts/lens stay the full-frame tables. Returns
     (out [K, C, 8, 128], metrics [K, 1, 4]) with the same rows as
-    `trace_pairs_fused_soa`."""
+    `trace_pairs_fused_soa` — or, with `shade_only`, exactly 7 rows
+    (min_t, pos3, nrm3): the code accumulators leave the hot loop (1-2
+    vector selects per candidate) for callers that never read codes."""
     K = tile_ids.shape[0]
     deep = cfg.max_depth >= 7
-    n_out = 9 if deep else 8
+    n_out = 7 if shade_only else (9 if deep else 8)
     n_rows = 8 if deep else 7  # fat-rows payload (see bin_nodes)
     group = 8
     Kp = -(-K // group) * group
@@ -1092,7 +1187,7 @@ def trace_pairs_fused_subset(
         SEG_WIN, Kp, deep=deep, group=group,
         fused=(cfg.tile_w, cfg.tile_h, cfg.tiles_x),
         lod_sq=float(np.float32(cfg.lod_factor**2)),
-        indirect=True,
+        indirect=True, shade_only=shade_only,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,

@@ -5,6 +5,10 @@ from sphereflake_tpu.parallel.frameless import (  # noqa: F401
     sharded_tiles_step,
 )
 from sphereflake_tpu.parallel.mesh import make_mesh  # noqa: F401
+from sphereflake_tpu.parallel.shared_bin import (  # noqa: F401
+    render_gbuffer_shared,
+    shared_bin_supported,
+)
 from sphereflake_tpu.parallel.sharded import (  # noqa: F401
     fit_step_sharded,
     make_frame_mesh,

@@ -123,8 +123,6 @@ def sharded_tiles_step(
         )
     cam = camera_vector(scene, cfg)
     interpret = jax.default_backend() != "tpu"
-    deep = cfg.max_depth >= 7
-    base = 3 if deep else 2
     tx_n = cfg.tiles_x
     n_local = bty * btx
 
@@ -175,11 +173,10 @@ def sharded_tiles_step(
         lx = local - ly * btx
         gids = (iy * bty + ly) * tx_n + (ix * btx + lx)
         out, m = trace_pairs_fused_subset(
-            cam, pairs, starts, lens, gids, cfg, interpret=interpret
+            cam, pairs, starts, lens, gids, cfg, interpret=interpret,
+            shade_only=True,
         )
-        rows_new = jnp.concatenate(
-            [out[:, :1], out[:, base : base + 6]], axis=1
-        )
+        rows_new = out  # exactly (min_t, pos3, nrm3)
         flat = rows_blk.reshape(n_local, 7, 8, 128)
         flat = flat.at[local].set(rows_new)
         cov = cov_blk.reshape(n_local).at[local].set(True)

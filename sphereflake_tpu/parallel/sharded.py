@@ -136,8 +136,22 @@ def render_gbuffer_sharded(
 ) -> GBuffer:
     """Full-frame G-buffer with image blocks sharded over `mesh`.
 
+    Binned frames that fit the shared-bin constraints take the
+    strong-scaling path (`parallel.shared_bin`: ONE cooperative bin,
+    kernel sharded by tile block — the reference's threads sharing one
+    scene, `Sphereflake.cpp:69`); everything else renders per-device
+    blocks (each block expands + bins its own frustum — the weak-
+    scaling/banded shape). Outputs are identical either way.
+
     The returned planes are cropped to (height, width); their sharded
     padded extent is my*block_h x mx*block_w (see `_block_cfg`)."""
+    from sphereflake_tpu.parallel.shared_bin import (
+        render_gbuffer_shared,
+        shared_bin_supported,
+    )
+
+    if shared_bin_supported(cfg, mesh):
+        return render_gbuffer_shared(scene, cfg, mesh)
     bcfg = _block_cfg(cfg, mesh)
 
     @partial(

@@ -131,13 +131,16 @@ def progressive_prepare_trimmed(scene: SceneParams, cfg: RenderConfig):
     t_lo = |c| - 2*rad - eps = |c| - 4r - eps. A pair with
     t_lo > max(min_t over the tile) can never beat the incumbent
     winner at any pixel (sky pixels hold min_t = BIG, so any tile
-    containing sky keeps all its candidates). Static-camera frameless
-    refresh re-traces the same view continuously (the reference's
-    operating mode, `README.md:8-10`), so the one-time trim cost is
-    amortized across the whole accumulation while every remaining step
-    tests fewer candidates (fraction measured by tools/trim_probe.py;
-    numbers in docs/PERF.md round 5). Parity with the full renderer is
-    pinned by tests and gated in bench.py.
+    containing sky keeps all its candidates). A second, exact
+    sphere-vs-tile-frustum cull drops bbox-corner phantoms the interval
+    binning admits. Static-camera refresh re-traces the same view
+    continuously (the reference's operating mode, `README.md:8-10`),
+    so the one-time trim cost is amortized across the whole
+    accumulation while every remaining step tests fewer candidates —
+    measured 35.0% of pairs dropped at the reference 1080p depth-6
+    pose with BIT-IDENTICAL accumulated output (tools/trim_probe.py;
+    docs/PERF.md round 5). Parity with the full renderer is pinned by
+    tests and gated in bench.py.
 
     Returns (pairs, starts, lens, pair_overflow) — drop-in for the
     `prepared` argument of the step functions."""
@@ -162,15 +165,41 @@ def progressive_prepare_trimmed(scene: SceneParams, cfg: RenderConfig):
     tile_of = jnp.clip(
         jnp.searchsorted(bounds, iota, side="right") - 1, 0, T
     )
+    tile_c = jnp.minimum(tile_of, T - 1)
     in_seg = iota < bounds[-1]
     # Fat-rows payload: rc = r^2 - |c|^2 at row 3, rc4 = 4r^2 - |c|^2
     # at the last row; recover |c| and rad = 2r (f32 round-off here is
-    # dwarfed by the whole-r margins above).
+    # dwarfed by the whole-r margins below).
     rc, rc4 = pairs[3], pairs[-1]
     cc = jnp.maximum((rc4 - 4.0 * rc) / 3.0, 0.0)
     r2 = jnp.maximum((rc4 - rc) / 3.0, 0.0)
-    t_lo = jnp.sqrt(cc) - 4.0 * jnp.sqrt(r2) - 1e-3
-    keep = in_seg & (t_lo <= t_max[jnp.minimum(tile_of, T - 1)])
+    rad = 2.0 * jnp.sqrt(r2)
+    # Occlusion bound: exact minimum self-hit distance is |c| - r; keep
+    # the same whole-r fuzz margin the 2r binning radius provides
+    # (bin_nodes), i.e. t_lo = |c| - 2r.
+    t_lo = jnp.sqrt(cc) - rad - 1e-3
+    keep = in_seg & (t_lo <= t_max[tile_c])
+    # Exact sphere-vs-tile-frustum cull: binning's interval arithmetic
+    # admits bbox-corner pairs whose 2r sphere never meets the tile's
+    # ray cone. A tile ray that registers a (fuzzy) self-hit has a
+    # point within 2r of the center, so planes-distance < -2r proves no
+    # hit — same bounding radius the per-tile kernel's frustum cull
+    # uses. Gathers here cost ~3 ns/element but run once per camera.
+    from sphereflake_tpu.camera import tile_frustum_planes
+
+    planes = tile_frustum_planes(
+        scene.camera, cfg.width, cfg.height, cfg.tile_h, cfg.tile_w,
+        block_h=cfg.padded_height, block_w=cfg.padded_width,
+    )  # [T, 4, 3] unit inward normals
+    pp = planes[tile_c]  # [cap, 4, 3]
+    cx, cy, cz = pairs[0], pairs[1], pairs[2]
+    dmin = jnp.min(
+        pp[:, :, 0] * cx[:, None]
+        + pp[:, :, 1] * cy[:, None]
+        + pp[:, :, 2] * cz[:, None],
+        axis=1,
+    )
+    keep = keep & (dmin >= -(rad + 1e-3))
     new_tile = jnp.where(keep, tile_of, T)
 
     order_key = new_tile  # stable sort keeps per-tile pair order
@@ -446,14 +475,14 @@ def progressive_tiles_step(
         )
     cam = camera_vector(scene, cfg)
     interpret = _jax.default_backend() != "tpu"
+    # shade_only: the state never stores path codes, so the code
+    # accumulators leave the kernel's hot loop and the output rows ARE
+    # the state layout (min_t, pos3, nrm3) — no re-pack copy.
     out, m = trace_pairs_fused_subset(
-        cam, pairs, starts, lens, ids, cfg, interpret=interpret
+        cam, pairs, starts, lens, ids, cfg, interpret=interpret,
+        shade_only=True,
     )
-    deep = cfg.max_depth >= 7
-    base = 3 if deep else 2
-    rows_new = jnp.concatenate(
-        [out[:, :1], out[:, base : base + 6]], axis=1
-    )  # (min_t, pos3, nrm3)
+    rows_new = out
     # Duplicate tile ids within a batch write IDENTICAL rows (same
     # camera), so the unordered scatter is deterministic by value.
     rows = state.rows.at[ids].set(rows_new)
