@@ -21,6 +21,11 @@ vs_baseline is against BASELINE.json's target of 2e9 primary rays/s per
 v5p chip (the reference itself publishes no numbers — BASELINE.md).
 Extra context lines go to stderr.
 
+Round ritual (VERDICT r4 item 8): run `python tools/tpu_validate.py`
+(the compiled-on-chip invariant sweep) before trusting any bench
+number, and record its table in docs/PERF.md — the CPU suite
+interprets every kernel, so only the sweep proves the compiled paths.
+
 Timing methodology (docs/PERF.md): the tunneled axon backend neither
 synchronizes on `block_until_ready` nor re-executes identical
 dispatches (the relay memoizes them), so the only honest measurement

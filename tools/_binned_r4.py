@@ -1,3 +1,8 @@
+# SNAPSHOT of this repo's own sphereflake_tpu/ops/binned.py at the round-4
+# commit (85f6983), kept verbatim so tools/fatrows_probe.py can A/B the
+# round-5 fat-row layout against the round-4 thin layout INTERLEAVED in one
+# process (cross-session timing is untrustworthy on this tunnel). Not used
+# by the package.
 """Binned traversal: frame-global expansion + screen-tile binning (XLA)
 feeding ONE fully-fused Pallas kernel (raygen + ray tests + shading).
 
