@@ -346,3 +346,59 @@ def test_interior_pose_pair_count_bounded():
     assert int(n_inside) < 4 * int(n_front), (
         f"interior pose pairs {int(n_inside)} vs frontal {int(n_front)}"
     )
+
+
+def test_decode_tiles_window_composes_bit_identically():
+    """The shared-bin path's foundation: decoding the pair table in D
+    slot windows (with the masked-reduction carry-in at each boundary)
+    must reproduce the full-window decode EXACTLY — int32 running
+    maxima compose associatively."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sphereflake_tpu.camera import corner_rays, tile_frustum_planes
+    from sphereflake_tpu.config import RenderConfig, default_scene
+    from sphereflake_tpu.models.sphereflake import (
+        child_templates,
+        root_frame,
+    )
+    from sphereflake_tpu.ops.binned import (
+        _decode_tiles_window,
+        bin_geometry,
+        corner_basis,
+        expand_global,
+    )
+
+    scene = default_scene()
+    cfg = RenderConfig(width=256, height=128, max_depth=3, tile_h=32,
+                       tile_w=32, algorithm="binned")
+    root = root_frame(scene.camera.position)
+    templates = child_templates(scene.fractal)
+    planes = tile_frustum_planes(
+        scene.camera, cfg.width, cfg.height,
+        cfg.padded_height, cfg.padded_width,
+        block_h=cfg.padded_height, block_w=cfg.padded_width,
+    )[0]
+    nodes, _ = expand_global(root, templates, scene.fractal, cfg, planes)
+    minv = corner_basis(scene.camera, cfg.width, cfg.height)
+    origin, tl, tr, bl = corner_rays(scene.camera, cfg.width / cfg.height)
+    ex, ey = tr - tl, bl - tl
+    corners = jnp.stack([
+        (tl - origin) + u * ex + v * ey
+        for u in (0.0, 1.0) for v in (0.0, 1.0)
+    ])
+    geo = bin_geometry(nodes, minv, cfg, corners=corners)
+
+    cap = cfg.pair_cap
+    tile_full, node_full = _decode_tiles_window(geo, cfg, 0, cap)
+    for d in (2, 8):
+        assert cap % d == 0
+        w = cap // d
+        tiles = jnp.concatenate(
+            [_decode_tiles_window(geo, cfg, k * w, w)[0] for k in range(d)]
+        )
+        nodes_w = jnp.concatenate(
+            [_decode_tiles_window(geo, cfg, k * w, w)[1] for k in range(d)]
+        )
+        np.testing.assert_array_equal(np.asarray(tiles), np.asarray(tile_full))
+        np.testing.assert_array_equal(np.asarray(nodes_w), np.asarray(node_full))

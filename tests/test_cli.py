@@ -234,3 +234,48 @@ def test_animate_frame_parallel(tmp_path):
     frames = sorted(tmp_path.glob("fp_*.png"))
     assert len(frames) == 3
     assert frames[0].read_bytes() != frames[1].read_bytes()
+
+
+def test_progressive_composite_snapshots(tmp_path):
+    """--snapshot-every runs the full post chain over the in-flight
+    buffer every K steps (the reference's display loop) and the final
+    --mode composite output exists."""
+    out = tmp_path / "c.png"
+    rc = main([
+        "--width", "96", "--height", "64", "--depth", "2",
+        "--algorithm", "binned", "--tile", "32x32", "--devices", "1",
+        "--progressive", "5", "--batch", "3072", "--mode", "composite",
+        "--snapshot-every", "2", "--output", str(out),
+    ])
+    assert rc == 0
+    assert out.stat().st_size > 0
+    snaps = sorted(tmp_path.glob("c_s*.png"))
+    assert [p.name for p in snaps] == ["c_s00002.png", "c_s00004.png"]
+    assert all(p.stat().st_size > 0 for p in snaps)
+
+
+def test_frameless_animate_cli(tmp_path):
+    """--animate --frameless: the camera moves while the buffer keeps
+    accumulating; one PNG per camera step."""
+    out = tmp_path / "f.png"
+    rc = main([
+        "--width", "96", "--height", "64", "--depth", "2",
+        "--algorithm", "binned", "--tile", "32x32", "--devices", "1",
+        "--animate", "2", "--frameless", "--batch", "16384",
+        "--mode", "normals", "--output", str(out),
+    ])
+    assert rc == 0
+    for i in range(2):
+        assert (tmp_path / f"f_{i:04d}.png").stat().st_size > 0
+
+
+def test_mesh_flag_error_paths():
+    """Round-4 advisor: malformed --mesh values get a friendly error
+    (exit 2), not a traceback; degenerate dims are rejected."""
+    for bad in ("2x", "axb", "2x2x2", "0x4", "2x-1"):
+        rc = main([
+            "--width", "64", "--height", "32", "--depth", "1",
+            "--algorithm", "fast", "--tile", "32x32",
+            "--mesh", bad, "--output", "/tmp/never.png",
+        ])
+        assert rc == 2, bad
