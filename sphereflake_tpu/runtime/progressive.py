@@ -126,9 +126,9 @@ def progressive_prepare_trimmed(scene: SceneParams, cfg: RenderConfig):
 
     Output-preserving by construction: a self-hit on a sphere at
     center c, radius r has t >= |c| - r exactly, and numerically-fuzzy
-    tangent grazes stay within the same 2r margin the binning itself
-    relies on (`bin_nodes`), so the bound used here is
-    t_lo = |c| - 2*rad - eps = |c| - 4r - eps. A pair with
+    tangent grazes stay within the same whole-r margin the 2r binning
+    radius provides (`bin_nodes`), so the bound used here is
+    t_lo = |c| - 2r - eps. A pair with
     t_lo > max(min_t over the tile) can never beat the incumbent
     winner at any pixel (sky pixels hold min_t = BIG, so any tile
     containing sky keeps all its candidates). A second, exact

@@ -1,3 +1,8 @@
+# SNAPSHOT holding the REJECTED round-5 node-loop op trims (min-folded
+# tca/disc gates, clamp-free sqrt) so tools/optrim_probe.py can
+# reproduce the A/B against the shipped kernel interleaved in one
+# process. Measured 0.93x (slower), bit-identical output. Not used by
+# the package.
 """Binned traversal: frame-global expansion + screen-tile binning (XLA)
 feeding ONE fully-fused Pallas kernel (raygen + ray tests + shading).
 
@@ -818,21 +823,14 @@ def make_pairs_kernel(win: int, n_tiles: int, deep: bool = False,
                         t2 = tca * tca
                         disc = t2 + rc  # r^2 - d^2
                         c1 = tca - lodr
-                        # `SIMD_AVX.h:236-270` + the sqrt-free LOD
-                        # gate. max(c1,0)^2 < t2+rc4 is equivalent to
-                        # (c1<0) | (c1^2 < t2+rc4) UNDER disc >= 0
-                        # (disc >= 0 forces t2+rc4 >= 3r^2 > 0), one
-                        # vector op cheaper. NOTE (round 5): folding
-                        # the tca/disc gates into min(tca, disc) >= 0
-                        # and dropping the sqrt clamp (ok masks the
-                        # NaN) is bit-identical but measured 0.93x
-                        # SLOWER (tools/optrim_probe.py) — Mosaic
-                        # already schedules the compares well and the
-                        # min adds a dependency; keep this form.
+                        # REJECTED round-5 variant (this snapshot
+                        # exists only for tools/optrim_probe.py):
+                        # min-folded gates + clamp-free sqrt —
+                        # bit-identical but 0.93x vs the kept form.
                         c1p = jnp.maximum(c1, 0.0)
                         lod_ok = c1p * c1p < t2 + rc4
-                        ok = (tca >= 0.0) & lod_ok & (disc >= 0.0)
-                        ts = tca - jnp.sqrt(jnp.maximum(disc, 0.0))
+                        ok = (jnp.minimum(tca, disc) >= 0.0) & lod_ok
+                        ts = tca - jnp.sqrt(disc)
                         a = stride * u
                         bt = acc[a]
                         better = ok & (ts < bt)
