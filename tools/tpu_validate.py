@@ -10,6 +10,7 @@ runs the suite's key invariants COMPILED on the real chip:
      kernel, same camera scalars per band)
   3. deep dive reaches level 8+ on the two-lane codes (depth 10)
   4. progressive binned step: prepared-vs-unprepared bit parity
+     (+ tile-progressive vs full render, + trimmed-table bit parity)
   5. depth-7 boundary: binned matches the XLA fast path
 
 Usage: python tools/tpu_validate.py   (exit 0 = all pass)
@@ -149,6 +150,32 @@ def main() -> int:
     check("tile-progressive == full render on covered tiles",
           cov.sum() > 0 and eq > 0.999,
           f"covered={int(cov.sum())}/{ty_n * tx_n} eq={eq:.4f}")
+
+    # 4c. occlusion/frustum-trimmed prepared table: the trim must be
+    # output-INVISIBLE compiled (bit parity vs the untrimmed table on
+    # every refreshed tile) — the admissibility condition of
+    # `progressive_prepare_trimmed` (round 5).
+    from sphereflake_tpu.runtime.progressive import (
+        progressive_prepare_trimmed,
+    )
+
+    trimmed = progressive_prepare_trimmed(scene, pcfg)
+    st_a = progressive_tiles_init(pcfg, seed=2)
+    st_b = progressive_tiles_init(pcfg, seed=2)
+    T_p = pcfg.tiles_y * pcfg.tiles_x
+    for _ in range(2):
+        st_a = progressive_tiles_step(st_a, scene, pcfg,
+                                      tiles_per_step=T_p,
+                                      prepared=prepared_t)
+        st_b = progressive_tiles_step(st_b, scene, pcfg,
+                                      tiles_per_step=T_p,
+                                      prepared=trimmed)
+    n_plain = int(np.asarray(prepared_t[2]).sum())
+    n_trim = int(np.asarray(trimmed[2]).sum())
+    bitp = (np.asarray(st_a.rows) == np.asarray(st_b.rows)).mean()
+    check("trimmed prepared table bit-parity",
+          bitp == 1.0 and n_trim <= n_plain,
+          f"pairs {n_plain}->{n_trim} eq={bitp:.6f}")
 
     # 5. depth-7 two-lane boundary vs the XLA fast path — compiled.
     kw7 = dict(width=64, height=32, max_depth=7, tile_h=32, tile_w=32,
