@@ -166,7 +166,11 @@ def main() -> int:
         tile_progressive_gbuffer,
     )
 
-    tiles_per_step = 2048
+    # 1024 Sobol-chosen tiles per step: the step-size sweep
+    # (tools/stepsize_probe.py) measured 0.96 us/tile at 1024 vs 1.11
+    # at 2048/4096 — smaller refresh batches run closer to the
+    # reference's own granularity (8-ray packets) and faster per ray.
+    tiles_per_step = 1024
     T = cfg.tiles_y * cfg.tiles_x
 
     # Correctness gate: accumulate to full coverage and compare. The
@@ -179,7 +183,7 @@ def main() -> int:
     if int(np.asarray(prepared0[3])):
         print("FAIL: pair overflow in frameless prepare", file=sys.stderr)
         return 1
-    for _ in range(8):
+    for _ in range(24):
         st = progressive_tiles_step(
             st, scene0, cfg, tiles_per_step=tiles_per_step,
             prepared=prepared0,
@@ -230,12 +234,15 @@ def main() -> int:
 
     run_refresh(n_small)
     run_refresh(n_big)
+    # 5 trials (vs 3 for full frames): the ~1 ms step leaves the
+    # marginal more exposed to tunnel jitter, so the median needs more
+    # support; the full spread rides in the JSON either way.
     rts = []
-    for _ in range(3):
+    for _ in range(5):
         t_s = run_refresh(n_small)
         t_b = run_refresh(n_big)
         rts.append((t_b - t_s) / (n_big - n_small))
-    rdt = sorted(rts)[1]  # median (see full-frame note)
+    rdt = sorted(rts)[2]  # median (see full-frame note)
     rays_per_s = tiles_per_step * 1024 / rdt
     print(
         f"sustained frameless refresh (reference metric): "
@@ -276,6 +283,7 @@ def main() -> int:
                 "Sphereflake.cpp:184; gated on full-coverage parity "
                 "with the full renderer)",
                 "full_frame_rays_per_second": frame_rays_per_s,
+                "tiles_per_step": tiles_per_step,
                 "sustained_trials_rays_per_second": spread(
                     rts, tiles_per_step * 1024
                 ),

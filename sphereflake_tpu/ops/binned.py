@@ -25,10 +25,10 @@ frame. This path walks the tree ONCE per frame:
    frameless mode); per-tile segment (start, len) arrives via scalar
    prefetch; the kernel derives its ray directions from 16 camera
    scalars, DMAs its pair window HBM->SMEM, runs a scalar-driven node
-   loop (8 independent ILP chains, per-node constants re-derived on the
-   scalar unit), and shades the winner to (min_t, position, normal) in
-   the epilogue. A frame's forward pass is expansion + binning + one
-   Pallas dispatch + per-plane untiles.
+   loop (8 independent ILP chains over the precomputed fat-row
+   payload — see `node_rows`), and shades the winner to (min_t,
+   position, normal) in the epilogue. A frame's forward pass is
+   expansion + binning + one Pallas dispatch + per-plane untiles.
 
 (`trace_pairs_pallas`/`_soa` remain as the dirs-input variant for
 progressive per-pixel bundles.) Select with

@@ -320,3 +320,45 @@ def test_frameless_animate_overwrites_stale_tiles():
     # were re-traced under the new camera, and agree somewhere stale.
     diff = np.abs(img0 - img1).max(axis=-1)
     assert (diff > 1e-6).any()
+
+
+import pytest
+
+
+@pytest.mark.parametrize("depth", [2, 7])
+def test_trimmed_prepare_is_output_invisible(depth):
+    """`progressive_prepare_trimmed` drops only candidates that
+    provably cannot win (occlusion bound + exact tile frustum); the
+    accumulated buffer must be BIT-identical to the untrimmed table —
+    on the shallow (7-row) AND deep (8-row, code_hi) fat-row layouts
+    (the trim recovers |c| and r from the rc/rc4 rows by position)."""
+    import numpy as np
+
+    from sphereflake_tpu.config import RenderConfig, default_scene
+    from sphereflake_tpu.runtime.progressive import (
+        progressive_prepare,
+        progressive_prepare_trimmed,
+        progressive_tiles_init,
+        progressive_tiles_step,
+    )
+
+    scene = default_scene()
+    cfg = RenderConfig(width=128, height=64, max_depth=depth, tile_h=32,
+                       tile_w=32, algorithm="binned")
+    T = cfg.tiles_y * cfg.tiles_x
+    plain = progressive_prepare(scene, cfg)
+    trimmed = progressive_prepare_trimmed(scene, cfg)
+    n_plain = int(np.asarray(plain[2]).sum())
+    n_trim = int(np.asarray(trimmed[2]).sum())
+    assert 0 < n_trim <= n_plain
+
+    st_a = progressive_tiles_init(cfg, seed=6)
+    st_b = progressive_tiles_init(cfg, seed=6)
+    for _ in range(2):
+        st_a = progressive_tiles_step(st_a, scene, cfg, tiles_per_step=T,
+                                      prepared=plain)
+        st_b = progressive_tiles_step(st_b, scene, cfg, tiles_per_step=T,
+                                      prepared=trimmed)
+    np.testing.assert_array_equal(
+        np.asarray(st_a.rows), np.asarray(st_b.rows)
+    )
