@@ -13,6 +13,14 @@ bit-for-bit a mesh-(N,1) device block's work. Then
 since N devices would each run one band in parallel (per-device time
 t_banded/N) against the ideal t_whole/N.
 
+NOTE (round 5): this banded method projects the PER-BLOCK sharded
+path — now the fallback. Eligible binned frames route through the
+shared-bin pipeline (`parallel/shared_bin.py`: one cooperative bin),
+whose strong-scaling projection needs a stage decomposition instead:
+see tools/sharedbin_probe.py (82.8% at N=2 vs this method's 48%,
+docs/PERF.md round 5). The `config5` weak-scaling mode here remains
+the right tool for banded-block large frames.
+
 Usage: python tools/scaling_project.py [depth]
 """
 from __future__ import annotations
