@@ -422,3 +422,32 @@ def test_shared_bin_is_default_sharded_path_and_differentiable():
     np.testing.assert_allclose(
         float(g.camera.yaw), float(g1.camera.yaw), rtol=1e-3
     )
+
+def test_image_loss_fit_over_mesh():
+    """CLI-reachable path (`--fit-loss image` on a multi-device host):
+    the image loss differentiates render_frame_sharded — through the
+    shared-bin custom JVP AND the sharded post chain's collectives —
+    and descends."""
+    import dataclasses
+
+    import optax
+
+    from sphereflake_tpu.fit import fit, ssao_only
+    from sphereflake_tpu.parallel import render_frame_sharded
+
+    scene = default_scene()
+    cfg = RenderConfig(width=128, height=64, max_depth=2, tile_h=32,
+                       tile_w=32, algorithm="binned")
+    mesh = make_mesh(jax.devices()[:4], shape=(2, 2))
+    target, _ = render_frame_sharded(scene, cfg, mesh)
+    off = dataclasses.replace(
+        scene, ssao=dataclasses.replace(
+            scene.ssao, intensity=scene.ssao.intensity + 0.3
+        )
+    )
+    res = fit(
+        off, None, None, cfg, steps=3, optimizer=optax.adam(2e-2),
+        param_filter=ssao_only, loss="image", target_image=target,
+        mesh=mesh,
+    )
+    assert res.losses[-1] < res.losses[0]
