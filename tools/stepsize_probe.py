@@ -66,7 +66,7 @@ def timed(fn):
 def main():
     dev = jax.devices()[0]
     print(f"device: {dev.platform} {dev.device_kind}", file=sys.stderr)
-    for k in (1024, 2048, 4096):
+    for k in (512, 1024, 2048, 4096):
         f2, f22 = make(2, k), make(22, k)
         timed(f2)
         timed(f22)
