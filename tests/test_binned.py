@@ -402,3 +402,42 @@ def test_decode_tiles_window_composes_bit_identically():
         )
         np.testing.assert_array_equal(np.asarray(tiles), np.asarray(tile_full))
         np.testing.assert_array_equal(np.asarray(nodes_w), np.asarray(node_full))
+
+
+def test_non_tile_multiple_frame_pads_and_crops():
+    """The pad/crop path (padded extrapolation rows, `_untile` crop)
+    had no CPU coverage at a non-tile-multiple size — the TPU bench
+    exercises it daily (1080 -> 1088 rows) but the suite never did.
+    A 100x60 binned render must match the NumPy golden tracer on the
+    REAL pixels, and the sharded path must agree at an uneven mesh."""
+    import numpy as np
+
+    from sphereflake_tpu.config import RenderConfig, default_scene
+    from sphereflake_tpu.models import golden
+    from sphereflake_tpu.render import render_gbuffer
+
+    scene = default_scene()
+    cfg = RenderConfig(width=100, height=60, max_depth=2, tile_h=32,
+                       tile_w=32, algorithm="binned")
+    assert cfg.padded_width == 128 and cfg.padded_height == 64
+    gb = render_gbuffer(scene, cfg)
+    assert gb.min_t.shape == (60, 100)
+    res = golden.golden_render_gbuffer(100, 60, max_depth=2)
+    hit_g = np.isfinite(np.asarray(res.min_t))  # golden: +inf at sky
+    hit_b = np.asarray(gb.hit)
+    assert (hit_g == hit_b).mean() > 0.999
+    both = hit_g & hit_b
+    rel = np.abs(np.asarray(gb.min_t)[both] - np.asarray(res.min_t)[both])
+    rel = rel / np.abs(np.asarray(res.min_t)[both])
+    # f32 kernel vs float64 golden: isolated tangent-graze winner
+    # flips are legitimate; bound their count, not their magnitude.
+    assert (rel > 1e-4).mean() < 2e-3, (rel > 1e-4).mean()
+
+    import jax
+
+    from sphereflake_tpu.parallel import make_mesh, render_gbuffer_sharded
+
+    mesh = make_mesh(jax.devices()[:8], shape=(2, 4))
+    gb_s = render_gbuffer_sharded(scene, cfg, mesh)
+    assert gb_s.min_t.shape == (60, 100)
+    assert (np.asarray(gb_s.hit) == hit_b).mean() > 0.999
