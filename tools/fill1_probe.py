@@ -165,6 +165,81 @@ def decode_two_row_t(geo, cfg, lo, width):
     return _two_row_decode(pk, bits, geo, cfg, lo, width)
 
 
+def make_decode_grouped(G):
+    """Variant D: GROUP-BLOCK fill. The scatter is per-index bound
+    (~30 ns per in-bounds index, ~3 ns dropped) while shared-index
+    gathers run ~1.5 ns/index, so scatter ONE mark per group of G
+    consecutive nodes (their slot ranges are contiguous because
+    `first` is monotone over the whole table) and recover the member
+    node per slot from the group's gathered cumulative counts."""
+
+    def decode(geo, cfg, lo, width):
+        tx_n, ty_n = cfg.tiles_x, cfg.tiles_y
+        n_tiles = tx_n * ty_n
+        pair_cap = cfg.pair_cap
+        n_nodes = geo["n_nodes"]
+        first, counts = geo["first"], geo["counts"]
+        tx0, ty0, bw = geo["tx0"], geo["ty0"], geo["bw"]
+        n_pairs = geo["n_pairs"]
+        iota_p = lo + jnp.arange(width, dtype=jnp.int32)
+
+        ng = -(-n_nodes // G)
+        pad = ng * G - n_nodes
+        cpad = jnp.concatenate(
+            [counts, jnp.zeros((pad,), counts.dtype)]
+        )
+        cum_g = jnp.cumsum(cpad.reshape(ng, G), axis=1)  # inclusive
+        gtotal = cum_g[:, -1]
+        gfirst = first[::G]  # first slot of each group (dead-safe)
+        iota_g = jnp.arange(ng, dtype=jnp.int32)
+        in_table = (gtotal > 0) & (gfirst < pair_cap)
+        in_win = in_table & (gfirst >= lo) & (gfirst < lo + width)
+        slot_w = jnp.where(in_win, gfirst - lo, width + iota_g)
+        marks = (
+            jnp.full((width,), -1, jnp.int32)
+            .at[slot_w]
+            .set(iota_g, mode="drop", unique_indices=True)
+        )
+        before = in_table & (gfirst < lo)
+        carry = jnp.max(jnp.where(before, iota_g, _IMIN))
+        (pk,) = _running_max_rows(marks[None, :])
+        g = jnp.maximum(jnp.maximum(pk, carry), 0)
+
+        # gather 1 (by group): group slot start + G-1 member cums
+        grows = jnp.concatenate(
+            [gfirst[None, :], cum_g.T[:-1]], axis=0
+        )  # [G, ng]
+        gg = grows[:, g]
+        rank_g = iota_p - gg[0]
+        m = jnp.zeros_like(rank_g)
+        node_off = jnp.zeros_like(rank_g)
+        for k in range(G - 1):
+            ge = rank_g >= gg[1 + k]
+            m = m + ge.astype(jnp.int32)
+            node_off = jnp.where(ge, gg[1 + k], node_off)
+        pair_node = jnp.minimum(g * G + m, n_nodes - 1)
+        pair_rank = rank_g - node_off
+
+        # gather 2 (by node): the rect word
+        tyb = max(1, (ty_n - 1).bit_length())
+        bwb = tx_n.bit_length()
+        xyw = (tx0 << (tyb + bwb)) | (ty0 << bwb) | bw
+        w = xyw[pair_node]
+        p_tx0 = w >> (tyb + bwb)
+        p_ty0 = (w >> bwb) & ((1 << tyb) - 1)
+        nb_w = jnp.maximum(w & ((1 << bwb) - 1), 1)
+        pair_valid = iota_p < n_pairs
+        p_tx = jnp.minimum(p_tx0 + pair_rank % nb_w, tx_n)
+        p_ty = jnp.minimum(p_ty0 + pair_rank // nb_w, ty_n)
+        tile = jnp.where(
+            pair_valid, jnp.minimum(p_ty * tx_n + p_tx, n_tiles),
+            n_tiles,
+        )
+        return tile, pair_node
+
+    return decode
+
+
 def frame_fn(decode_fn):
     """Full-frame pipeline identical on both sides except the fill."""
     n_tiles = cfg.tiles_x * cfg.tiles_y
@@ -220,12 +295,12 @@ def main():
     print(f"device: {dev.platform} {dev.device_kind}", file=sys.stderr)
 
     fa = frame_fn(_decode_tiles_window)  # shipped two-row fill
-    fb = frame_fn(decode_one_row)
-    fc = frame_fn(decode_two_row_t)
+    fd8 = frame_fn(make_decode_grouped(8))
+    fd16 = frame_fn(make_decode_grouped(16))
 
     # Bit-parity gate on the min_t plane.
     mta = np.asarray(jax.jit(fa)(scene0))
-    for name, f in (("B", fb), ("C", fc)):
+    for name, f in (("D8", fd8), ("D16", fd16)):
         mt = np.asarray(jax.jit(f)(scene0))
         eq = np.array_equal(mta, mt)
         print(f"parity vs A (min_t bit-equal), {name}: {eq}")
@@ -263,9 +338,9 @@ def main():
         return time.perf_counter() - t0
 
     sides = {
-        "A two-row fill   ": fa,
-        "B one-row fill   ": fb,
-        "C transposed fill": fc,
+        "A two-row fill ": fa,
+        "D8 grouped fill": fd8,
+        "D16 grouped    ": fd16,
     }
     fns = {}
     for name, body in sides.items():
