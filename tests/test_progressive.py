@@ -362,3 +362,48 @@ def test_trimmed_prepare_is_output_invisible(depth):
     np.testing.assert_array_equal(
         np.asarray(st_a.rows), np.asarray(st_b.rows)
     )
+
+
+def test_overflow_is_accumulated_never_silent():
+    """The project invariant (round-4 advisor finding): pair-table /
+    compaction drops are COUNTED into the progressive state, step
+    after step, so a capacity problem is visible to the driver (the
+    CLI warns / retries the prepare via the capacity ladder) instead
+    of silently rendering with missing geometry."""
+    from sphereflake_tpu.config import RenderConfig, default_scene
+    from sphereflake_tpu.runtime.progressive import (
+        progressive_prepare,
+        progressive_tiles_init,
+        progressive_tiles_step,
+    )
+
+    scene = default_scene()
+    cfg = RenderConfig(width=128, height=64, max_depth=2, tile_h=32,
+                       tile_w=32, algorithm="binned")
+    prepared = progressive_prepare(scene, cfg)
+
+    # Healthy capacity: zero overflow after real steps.
+    st = progressive_tiles_init(cfg, seed=2)
+    for _ in range(2):
+        st = progressive_tiles_step(st, scene, cfg, tiles_per_step=4,
+                                    prepared=prepared)
+    assert int(st.overflow) == 0
+    assert int(prepared[3]) == 0
+
+    # A prepare that dropped pairs must show up in the state, summed
+    # across every step that consumed it.
+    pairs, starts, lens, _ovf = prepared
+    crowded = (pairs, starts, lens, jnp.int32(7))
+    st = progressive_tiles_init(cfg, seed=2)
+    for _ in range(3):
+        st = progressive_tiles_step(st, scene, cfg, tiles_per_step=4,
+                                    prepared=crowded)
+    assert int(st.overflow) == 3 * 7
+
+    # Same invariant on the per-SAMPLE path.
+    st2 = progressive_init(cfg, seed=2)
+    st2 = progressive_step(st2, scene, cfg, batch_size=1024,
+                           prepared=crowded)
+    st2 = progressive_step(st2, scene, cfg, batch_size=1024,
+                           prepared=crowded)
+    assert int(st2.overflow) == 2 * 7
