@@ -279,3 +279,23 @@ def test_mesh_flag_error_paths():
             "--mesh", bad, "--output", "/tmp/never.png",
         ])
         assert rc == 2, bad
+
+
+def test_profile_writes_a_trace(tmp_path):
+    """--profile DIR captures a jax.profiler trace of the timed frames
+    (the framework's analogue of the reference's external VTune
+    workflow, SURVEY §5) — the directory must exist and be non-empty
+    after a render."""
+    import os
+
+    prof = tmp_path / "trace"
+    out = tmp_path / "prof.png"
+    rc = main(_common(
+        "--output", str(out), "--frames", "2", "--profile", str(prof),
+    ))
+    assert rc == 0
+    assert out.stat().st_size > 0
+    found = []
+    for root, _dirs, files in os.walk(prof):
+        found += [os.path.join(root, f) for f in files]
+    assert found, "profiler trace directory is empty"
