@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 import sys
 import time
 
@@ -174,6 +175,22 @@ def main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
 
+    # Persistent compilation cache: cold compiles of the fused kernels
+    # run 1-3 minutes on TPU backends, warm-cache reuse ~seconds. Same
+    # default dir as bench.py / tools so every entry point shares one
+    # cache; SPHEREFLAKE_CACHE_DIR overrides, empty string disables. A
+    # cache dir already configured by the embedding process (e.g. the
+    # test suite's conftest) is respected.
+    cache_dir = os.environ.get(
+        "SPHEREFLAKE_CACHE_DIR", "~/.cache/jax-bench"
+    )
+    if cache_dir and not jax.config.jax_compilation_cache_dir:
+        cache_dir = os.path.expanduser(cache_dir)
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     from sphereflake_tpu.config import (
         CameraParams,
         FractalParams,
@@ -296,8 +313,6 @@ def main(argv=None) -> int:
     )
 
     if args.animate:
-        import os
-
         from sphereflake_tpu.runtime.animate import (
             animate,
             animate_frames_dp,
