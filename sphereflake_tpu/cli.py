@@ -461,14 +461,22 @@ def main(argv=None) -> int:
         use_tiles = (
             args.progressive_unit == "tile" and cfg.algorithm == "binned"
         )
+        if args.snapshot_every and not use_tiles:
+            print(
+                "note: --snapshot-every only runs in the tile-granular "
+                "frameless mode (binned algorithm, --progressive-unit "
+                "tile); no in-flight snapshots will be written",
+                file=sys.stderr,
+            )
         # Static camera: bin the frame once, reuse across every step
         # (re-run progressive_prepare on camera change). A pair-table
         # overflow in the prepared table would silently drop geometry
-        # from EVERY step, so grow capacity before accumulating (the
-        # same ladder the full-frame path retries on).
-        from sphereflake_tpu.render import grow_capacity
-
+        # from EVERY step, so grow capacity before accumulating — via
+        # the FRAMELESS ladder, which ends cleanly at the global_cap
+        # ceiling (banding, the full-frame ladder's next rung, cannot
+        # help a pair table that spans the frame).
         from sphereflake_tpu.runtime.progressive import (
+            grow_frameless_capacity,
             progressive_prepare_trimmed,
         )
 
@@ -483,19 +491,11 @@ def main(argv=None) -> int:
                 prepared = prep_fn(scene, cfg)
                 if not int(prepared[3]):
                     break
-                if cfg.global_cap >= (9 << 16):
-                    # Banding (the ladder's next rung) cannot help the
-                    # frameless path: its pair table spans the frame.
-                    print(
-                        "error: frameless pair table overflows at the "
-                        "capacity ceiling; render this pose full-frame "
-                        "(banded) instead",
-                        file=sys.stderr,
-                    )
+                try:
+                    cfg = grow_frameless_capacity(cfg)
+                except RuntimeError as e:
+                    print(f"error: {e}", file=sys.stderr)
                     return 1
-                import dataclasses as _dc
-
-                cfg = _dc.replace(cfg, global_cap=cfg.global_cap * 2)
                 print(
                     f"pair-table overflow ({int(prepared[3])} pairs "
                     f"dropped) in frameless prepare; retrying with "
@@ -503,8 +503,6 @@ def main(argv=None) -> int:
                     file=sys.stderr,
                 )
         if use_tiles:
-            import os as _os
-
             from sphereflake_tpu.runtime.progressive import (
                 progressive_tiles_init,
                 progressive_tiles_step,
@@ -512,7 +510,7 @@ def main(argv=None) -> int:
                 tile_progressive_gbuffer,
             )
 
-            stem, ext = _os.path.splitext(args.output)
+            stem, ext = os.path.splitext(args.output)
             ext = ext or ".png"
 
             def snapshot_image(st):
@@ -697,7 +695,13 @@ def main(argv=None) -> int:
             img = shade_normals(normal)
         write_png(args.output, img)
         if args.gbuffer:
-            write_gbuffer_npz(args.gbuffer, position, normal, min_t)
+            # In composite mode the NPZ carries the composited frame
+            # too, so a progressive run's target works with
+            # `--fit-loss image` exactly like a full-frame one.
+            write_gbuffer_npz(
+                args.gbuffer, position, normal, min_t,
+                image=img if args.mode == "composite" else None,
+            )
         if args.checkpoint:
             key = ckpt_key if use_tiles else "progressive"
             save_checkpoint(args.checkpoint, **{key: state})

@@ -187,8 +187,14 @@ def sharded_tiles_step(
         return (
             flat.reshape(bty, btx, 7, 8, 128),
             cov.reshape(bty, btx),
+            # hi-word carry at the 2^32 lo wrap (power-of-two step
+            # sizes land the cursor exactly on the boundary, where a
+            # dropped carry would restart the Sobol stream).
             (idx_lo[-1] + jnp.uint32(1)).reshape(1, 1),
-            idx_hi[-1].reshape(1, 1),
+            (
+                idx_hi[-1]
+                + (idx_lo[-1] + jnp.uint32(1) == 0).astype(jnp.uint32)
+            ).reshape(1, 1),
             closest,
             ovf,
         )

@@ -144,10 +144,21 @@ def frameless_animate(
         tile_progressive_gbuffer,
     )
 
+    from sphereflake_tpu.runtime.progressive import (
+        grow_frameless_capacity,
+    )
+
     assert cfg.algorithm == "binned", "frameless animate rides the binned path"
     state = progressive_tiles_init(cfg, seed=seed)
     cam0 = scene.camera
     radius = float(jnp.linalg.norm(cam0.position))
+    # Approach speed law: last KNOWN closest distance. A frame whose
+    # refreshed tiles all miss leaves the per-frame metric at _BIG;
+    # stepping by speed_factor*_BIG would fling the camera to ~1.5e37
+    # (f32 overflow territory), so such frames coast on the previous
+    # value — the reference's counter likewise just retains sparse
+    # worker samples between resets (`Sphereflake.cpp:197-200`).
+    last_closest = None
     for i in range(n_frames):
         if mode == "orbit":
             scene = _orbit_scene(scene, cam0, radius, i, n_frames)
@@ -155,14 +166,14 @@ def frameless_animate(
             raise ValueError(f"unknown animation mode {mode!r}")
 
         # SetView: re-bin for the new camera; accumulation state is
-        # NOT reset (stale-tile overwrite is the point).
+        # NOT reset (stale-tile overwrite is the point). Banding can't
+        # rescue an over-cap frameless table, so the ladder errors
+        # cleanly at the ceiling (grow_frameless_capacity).
         while True:
             prepared = progressive_prepare(scene, cfg)
             if not int(prepared[3]):
                 break
-            from sphereflake_tpu.render import grow_capacity
-
-            cfg = grow_capacity(cfg)
+            cfg = grow_frameless_capacity(cfg)
         # Track the frame's own closest distance for the approach
         # speed law (the reference resets this metric per report).
         state = _dc.replace(
@@ -196,12 +207,18 @@ def frameless_animate(
         yield image, scene, stats
 
         if mode == "approach":
-            step = speed_factor * closest
-            fwd = camera_forward(scene.camera)
-            cam = dataclasses.replace(
-                scene.camera, position=scene.camera.position + step * fwd
-            )
-            scene = dataclasses.replace(scene, camera=cam)
+            if closest < 1.0e37:
+                last_closest = closest
+            if last_closest is not None:
+                step = speed_factor * last_closest
+                fwd = camera_forward(scene.camera)
+                cam = dataclasses.replace(
+                    scene.camera,
+                    position=scene.camera.position + step * fwd,
+                )
+                scene = dataclasses.replace(scene, camera=cam)
+            # else: nothing hit yet — hold position until a sample
+            # lands (an all-sky start pose).
         jax.block_until_ready(state.rows)
 
 

@@ -117,6 +117,24 @@ def progressive_prepare(scene: SceneParams, cfg: RenderConfig):
     return pairs, t_starts, t_lens, pair_ovf
 
 
+def grow_frameless_capacity(cfg: RenderConfig) -> RenderConfig:
+    """One rung of the FRAMELESS capacity ladder: double global_cap.
+
+    The full-frame ladder (`render.grow_capacity`) falls back to
+    BANDING past the global_cap ceiling, but banding cannot help the
+    frameless path — its prepared pair table spans the whole frame —
+    so this ladder ends with a clean error instead of spinning through
+    futile re-prepares (each a full bin + compile) on band settings
+    the prepare ignores. Drivers: `cli.py --progressive` and
+    `runtime.animate.frameless_animate`."""
+    if cfg.global_cap >= (9 << 16):
+        raise RuntimeError(
+            "frameless pair table overflows at the capacity ceiling; "
+            "render this pose full-frame (banded) instead"
+        )
+    return dataclasses.replace(cfg, global_cap=cfg.global_cap * 2)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def progressive_prepare_trimmed(scene: SceneParams, cfg: RenderConfig):
     """`progressive_prepare` + occlusion trim: renders the frame once
@@ -375,8 +393,14 @@ def progressive_step(
         position=position,
         normal=normal,
         min_t=min_t,
+        # 64-bit cursor advance: +1 past the last index, carrying into
+        # the hi word when lo wraps (power-of-two batch sizes land the
+        # cursor exactly on the 2^32 boundary, where dropping the carry
+        # would restart the Sobol stream — a ~70-minute horizon at
+        # 1G rays/s).
         sample_lo=idx_lo[-1] + jnp.uint32(1),
-        sample_hi=idx_hi[-1],
+        sample_hi=idx_hi[-1]
+        + (idx_lo[-1] + jnp.uint32(1) == 0).astype(jnp.uint32),
         seed=state.seed,
         closest_distance=jnp.minimum(state.closest_distance, batch_closest),
         samples_traced=state.samples_traced + jnp.uint32(batch_size),
@@ -491,8 +515,11 @@ def progressive_tiles_step(
     return TileProgressiveState(
         rows=rows,
         covered=covered,
+        # hi-word carry at the 2^32 lo wrap (see ProgressiveState's
+        # cursor note).
         sample_lo=idx_lo[-1] + jnp.uint32(1),
-        sample_hi=idx_hi[-1],
+        sample_hi=idx_hi[-1]
+        + (idx_lo[-1] + jnp.uint32(1) == 0).astype(jnp.uint32),
         seed=state.seed,
         closest_distance=jnp.minimum(
             state.closest_distance, batch_closest

@@ -299,3 +299,25 @@ def test_profile_writes_a_trace(tmp_path):
     for root, _dirs, files in os.walk(prof):
         found += [os.path.join(root, f) for f in files]
     assert found, "profiler trace directory is empty"
+
+
+def test_progressive_composite_gbuffer_carries_image_plane(tmp_path, capsys):
+    """A progressive run saved with --gbuffer in --mode composite must
+    include the composited frame in the NPZ — the target surface
+    --fit-loss image directs users to produce — and asking for
+    in-flight snapshots outside the tile-granular mode says so instead
+    of silently writing nothing."""
+    gbuf = tmp_path / "g.npz"
+    out = tmp_path / "p.png"
+    rc = main(_common(
+        "--progressive", "3", "--batch", "2048",
+        "--progressive-unit", "sample", "--snapshot-every", "2",
+        "--mode", "composite",
+        "--output", str(out), "--gbuffer", str(gbuf),
+    ))
+    assert rc == 0
+    data = np.load(gbuf)
+    assert "image" in data
+    assert data["image"].shape == (64, 96, 3)
+    err = capsys.readouterr().err
+    assert "snapshot-every only runs" in err

@@ -407,3 +407,82 @@ def test_overflow_is_accumulated_never_silent():
     st2 = progressive_step(st2, scene, cfg, batch_size=1024,
                            prepared=crowded)
     assert int(st2.overflow) == 2 * 7
+
+
+def test_sobol_cursor_carries_into_hi_word_at_wrap():
+    """Power-of-two step sizes land the 64-bit Sobol cursor exactly on
+    the 2^32 boundary; the hi word must pick up the carry there or the
+    stream restarts (a ~70-minute horizon at 1G rays/s)."""
+    from sphereflake_tpu.config import RenderConfig, default_scene
+    from sphereflake_tpu.runtime.progressive import (
+        progressive_prepare,
+        progressive_tiles_init,
+        progressive_tiles_step,
+    )
+
+    scene = default_scene()
+    cfg = RenderConfig(width=128, height=64, max_depth=2, tile_h=32,
+                       tile_w=32, algorithm="binned")
+    prepared = progressive_prepare(scene, cfg)
+
+    st = progressive_tiles_init(cfg, seed=0)
+    st = dataclasses.replace(st, sample_lo=jnp.uint32(2**32 - 4))
+    st = progressive_tiles_step(st, scene, cfg, tiles_per_step=4,
+                                prepared=prepared)
+    assert int(st.sample_lo) == 0
+    assert int(st.sample_hi) == 1
+
+    st2 = progressive_init(cfg, seed=0)
+    st2 = dataclasses.replace(st2, sample_lo=jnp.uint32(2**32 - 1024))
+    st2 = progressive_step(st2, scene, cfg, batch_size=1024,
+                           prepared=prepared)
+    assert int(st2.sample_lo) == 0
+    assert int(st2.sample_hi) == 1
+
+
+def test_grow_frameless_capacity_ladder():
+    """The frameless ladder doubles global_cap and ends with a clean
+    error at the ceiling (banding cannot shrink a frame-spanning pair
+    table, so spinning into the banded rung would be futile)."""
+    import pytest
+
+    from sphereflake_tpu.config import RenderConfig
+    from sphereflake_tpu.runtime.progressive import (
+        grow_frameless_capacity,
+    )
+
+    cfg = RenderConfig(width=128, height=64, max_depth=2, tile_h=32,
+                       tile_w=32, algorithm="binned")
+    c2 = grow_frameless_capacity(cfg)
+    assert c2.global_cap == cfg.global_cap * 2
+    top = dataclasses.replace(cfg, global_cap=9 << 16)
+    with pytest.raises(RuntimeError, match="capacity ceiling"):
+        grow_frameless_capacity(top)
+
+
+def test_frameless_approach_holds_position_on_all_sky_frames():
+    """The approach speed law steps by the closest distance seen in the
+    frame's refreshed tiles; an all-sky frame leaves that metric at
+    _BIG and must NOT fling the camera (3e38 * 0.05 ~ f32 overflow) —
+    the camera coasts on the last known value, or holds still if
+    nothing was ever hit."""
+    from sphereflake_tpu.config import RenderConfig, default_scene
+    from sphereflake_tpu.runtime.animate import frameless_animate
+
+    scene = default_scene()
+    # Look AWAY from the fractal: every refreshed tile is sky.
+    cam = dataclasses.replace(
+        scene.camera, yaw=scene.camera.yaw + float(np.pi)
+    )
+    scene = dataclasses.replace(scene, camera=cam)
+    cfg = RenderConfig(width=128, height=64, max_depth=2, tile_h=32,
+                       tile_w=32, algorithm="binned")
+    frames = list(frameless_animate(
+        scene, cfg, n_frames=2, steps_per_frame=1, tiles_per_step=2,
+        mode="approach", composite=False,
+    ))
+    assert len(frames) == 2
+    p0 = np.asarray(frames[0][1].camera.position)
+    p1 = np.asarray(frames[1][1].camera.position)
+    assert np.isfinite(p1).all()
+    np.testing.assert_array_equal(p0, p1)
